@@ -1,0 +1,219 @@
+"""Typed configuration tree for detectorch_tpu.
+
+The reference has no config system: model hyper-parameters live in
+``detector(...)`` constructor kwargs (reference ``lib/model/detector.py:130-151``
+plus per-notebook arg sets), training flags in ``train_fast.py:25-68`` argparse,
+and many Detectron constants are fossilized as module-level literals
+(``lib/utils/boxes.py:73``, ``lib/utils/result_utils.py:97-107``,
+``lib/utils/multilevel_rois.py:41``, ``lib/utils/fast_rcnn_sample_rois.py:44-50``).
+
+Here every constant is a named field with the Detectron default, and the seven
+README model rows become named presets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+# Detectron bbox-delta exp clip: log(1000/16)  (reference lib/utils/boxes.py:73)
+BBOX_XFORM_CLIP = 4.135166556742356
+
+# Detectron image pixel means, RGB order after the importer's BGR->RGB conv1
+# flip (reference lib/utils/preprocess_sample.py:12 stores them BGR for a BGR
+# image pipeline; we work in RGB so the order is reversed — see data/transforms.py).
+PIXEL_MEANS_BGR = (102.9801, 115.9465, 122.7717)
+
+
+@dataclass(frozen=True)
+class AnchorConfig:
+    """RPN anchor enumeration (reference lib/utils/generate_anchors.py:54-65)."""
+
+    sizes: Tuple[float, ...] = (32, 64, 128, 256, 512)
+    aspect_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    stride: float = 16.0
+
+    @property
+    def num_anchors(self) -> int:
+        return len(self.sizes) * len(self.aspect_ratios)
+
+
+@dataclass(frozen=True)
+class RPNConfig:
+    """Proposal-generation knobs (reference lib/model/generate_proposals.py:13-29)."""
+
+    pre_nms_top_n: int = 6000        # test; 12000 train
+    post_nms_top_n: int = 1000       # test; 2000 train
+    nms_thresh: float = 0.7
+    min_size: float = 0.0
+
+
+@dataclass(frozen=True)
+class FPNConfig:
+    """FPN neck + level-routing (reference lib/model/detector.py:12-52,
+    lib/utils/multilevel_rois.py:41-53)."""
+
+    channels: int = 256
+    # RoI pooling levels P2..P5 (finest..coarsest)
+    roi_min_level: int = 2
+    roi_max_level: int = 5
+    # RPN runs on P2..P6 (extra level = stride-2 subsample of P5,
+    # reference detector.py:248-250)
+    extra_level: bool = True
+    roi_canonical_scale: float = 224.0
+    roi_canonical_level: int = 4
+    coarsest_stride: int = 32        # image padding multiple (blob.py:39-42)
+
+
+@dataclass(frozen=True)
+class MaskConfig:
+    """Mask head (reference lib/model/detector.py:84-112, 216-223)."""
+
+    # 'upshare' (C4: shared layer4 trunk) or '1up4convs' (FPN: 4 conv trunk)
+    head_type: str = "upshare"
+    resolution: int = 14             # output M×M; 14 for C4, 28 for FPN
+    roi_size: int = 14               # RoIAlign output feeding the mask trunk
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """One README model row == one ModelConfig (reference notebook cell args)."""
+
+    name: str = "e2e_mask_rcnn_R-50-FPN_2x"
+    arch: str = "resnet50"           # 'resnet50' | 'resnet101'
+    use_fpn: bool = True
+    use_rpn: bool = True
+    use_mask: bool = False
+    num_classes: int = 81
+    # RoIAlign on the box branch
+    roi_size: int = 7                # 14 for C4 (then layer4 strides to 7)
+    roi_sampling_ratio: int = 2      # 0 for C4 (=> adaptive ceil(roi/pooled))
+    # conv head: 'res5' (layer4+avgpool) or 'mlp' (fc6/fc7 1024)
+    box_head: str = "mlp"
+    roi_feature_channels: int = 1024
+    anchors: AnchorConfig = field(default_factory=AnchorConfig)
+    rpn: RPNConfig = field(default_factory=RPNConfig)
+    fpn: Optional[FPNConfig] = field(default_factory=FPNConfig)
+    mask: Optional[MaskConfig] = None
+    # C4 spatial scale (1/16); FPN path derives per-level scales from fpn config
+    spatial_scale: float = 0.0625
+    # compute dtype for the conv body (fp32 for bit-parity runs, bf16 for speed)
+    compute_dtype: str = "bfloat16"
+
+    @property
+    def fpn_spatial_scales(self) -> Tuple[float, ...]:
+        """RoI-pooling level scales, finest first (0.25, 0.125, 0.0625, 0.03125)."""
+        assert self.fpn is not None
+        return tuple(
+            1.0 / (2 ** lvl)
+            for lvl in range(self.fpn.roi_min_level, self.fpn.roi_max_level + 1)
+        )
+
+    def replace(self, **kw) -> "ModelConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class TestConfig:
+    """Inference-time postprocessing (reference lib/utils/result_utils.py:96-168,
+    lib/utils/blob.py:57-87)."""
+
+    target_size: int = 800
+    max_size: int = 1333
+    score_thresh: float = 0.05
+    nms_thresh: float = 0.5
+    detections_per_img: int = 100
+    bbox_reg_weights: Tuple[float, float, float, float] = (10.0, 10.0, 5.0, 5.0)
+    soft_nms: bool = False
+    soft_nms_sigma: float = 0.5
+    soft_nms_method: str = "linear"
+    # maximum number of input proposals fed to the box branch (Fast R-CNN
+    # precomputed proposals get padded/truncated to this)
+    max_proposals: int = 1000
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """Training schedule (reference lib/utils/solver.py:1-44, train_fast.py:25-68)."""
+
+    base_lr: float = 0.01
+    gamma: float = 0.1
+    steps: Tuple[int, ...] = (0, 240000, 320000)
+    max_iter: int = 360000
+    warmup_iters: int = 500
+    warmup_factor: float = 1.0 / 3.0
+    momentum: float = 0.9
+    weight_decay: float = 0.0001
+    clip_grad_norm: float = 35.0
+    checkpoint_period: int = 20000
+
+
+@dataclass(frozen=True)
+class SamplerConfig:
+    """RoI minibatch sampling (reference lib/utils/fast_rcnn_sample_rois.py:44-50)."""
+
+    rois_per_image: int = 512
+    fg_fraction: float = 0.25
+    fg_thresh: float = 0.5
+    bg_thresh_hi: float = 0.5
+    bg_thresh_lo: float = 0.0
+
+
+def _c4(name: str, arch: str, use_rpn: bool, use_mask: bool) -> ModelConfig:
+    return ModelConfig(
+        name=name,
+        arch=arch,
+        use_fpn=False,
+        use_rpn=use_rpn,
+        use_mask=use_mask,
+        roi_size=14,
+        roi_sampling_ratio=0,
+        box_head="res5",
+        roi_feature_channels=2048,
+        fpn=None,
+        mask=MaskConfig(head_type="upshare", resolution=14, roi_size=14)
+        if use_mask
+        else None,
+    )
+
+
+def _fpn(name: str, arch: str, use_rpn: bool, use_mask: bool) -> ModelConfig:
+    return ModelConfig(
+        name=name,
+        arch=arch,
+        use_fpn=True,
+        use_rpn=use_rpn,
+        use_mask=use_mask,
+        roi_size=7,
+        roi_sampling_ratio=2,
+        box_head="mlp",
+        roi_feature_channels=1024,
+        anchors=AnchorConfig(sizes=(32,), aspect_ratios=(0.5, 1.0, 2.0), stride=4.0),
+        rpn=RPNConfig(pre_nms_top_n=1000, post_nms_top_n=1000),
+        fpn=FPNConfig(),
+        mask=MaskConfig(head_type="1up4convs", resolution=28, roi_size=14)
+        if use_mask
+        else None,
+    )
+
+
+# The seven README rows (reference README.md:24-32).
+PRESETS = {
+    "fast_rcnn_R-50-C4_2x": _c4("fast_rcnn_R-50-C4_2x", "resnet50", False, False),
+    "fast_rcnn_R-50-FPN_2x": _fpn("fast_rcnn_R-50-FPN_2x", "resnet50", False, False),
+    "e2e_faster_rcnn_R-50-C4_2x": _c4(
+        "e2e_faster_rcnn_R-50-C4_2x", "resnet50", True, False
+    ),
+    "e2e_faster_rcnn_R-50-FPN_2x": _fpn(
+        "e2e_faster_rcnn_R-50-FPN_2x", "resnet50", True, False
+    ),
+    "e2e_mask_rcnn_R-50-C4_2x": _c4("e2e_mask_rcnn_R-50-C4_2x", "resnet50", True, True),
+    "e2e_mask_rcnn_R-50-FPN_2x": _fpn(
+        "e2e_mask_rcnn_R-50-FPN_2x", "resnet50", True, True
+    ),
+    "e2e_mask_rcnn_R-101-FPN_2x": _fpn(
+        "e2e_mask_rcnn_R-101-FPN_2x", "resnet101", True, True
+    ),
+}

@@ -1,0 +1,186 @@
+"""Box arithmetic in jnp, Detectron "+1" convention.
+
+Semantics mirror reference ``lib/utils/boxes.py`` exactly (the +1
+width/height convention ``:28-41``, exp clip log(1000/16) ``:73``, the
+asymmetric "-1" in the decoded x2/y2 ``:203-206``) but are written as pure
+fixed-shape jnp functions that trace under jit and vmap — these run *inside*
+the one-program detection graph, not as host numpy between device calls.
+
+All functions accept boxes in (x1, y1, x2, y2) layout, shape (..., 4).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from detectorch_tpu.config import BBOX_XFORM_CLIP
+
+
+def boxes_area(boxes):
+    """Area with the +1 convention (reference boxes.py:75-81)."""
+    w = boxes[..., 2] - boxes[..., 0] + 1.0
+    h = boxes[..., 3] - boxes[..., 1] + 1.0
+    return w * h
+
+
+def xywh_to_xyxy(xywh):
+    """[x y w h] -> [x1 y1 x2 y2] (+1 convention; reference boxes.py:92-107)."""
+    xy = xywh[..., 0:2]
+    wh = jnp.maximum(0.0, xywh[..., 2:4] - 1.0)
+    return jnp.concatenate([xy, xy + wh], axis=-1)
+
+
+def xyxy_to_xywh(xyxy):
+    """[x1 y1 x2 y2] -> [x y w h] (+1 convention; reference boxes.py:110-123)."""
+    xy = xyxy[..., 0:2]
+    wh = xyxy[..., 2:4] - xy + 1.0
+    return jnp.concatenate([xy, wh], axis=-1)
+
+
+def clip_boxes(boxes, height, width):
+    """Clip to [0, w-1] x [0, h-1] (reference boxes.py:134-138).
+
+    Works on (..., 4) and on tiled (..., 4*K) layouts (clip_tiled_boxes,
+    reference boxes.py:150-165) because the pattern repeats every 4 columns.
+    """
+    shape = boxes.shape
+    b = boxes.reshape(shape[:-1] + (-1, 4))
+    x1 = jnp.clip(b[..., 0], 0.0, width - 1.0)
+    y1 = jnp.clip(b[..., 1], 0.0, height - 1.0)
+    x2 = jnp.clip(b[..., 2], 0.0, width - 1.0)
+    y2 = jnp.clip(b[..., 3], 0.0, height - 1.0)
+    return jnp.stack([x1, y1, x2, y2], axis=-1).reshape(shape)
+
+
+def bbox_transform(boxes, deltas, weights=(1.0, 1.0, 1.0, 1.0)):
+    """Decode regression deltas into boxes (reference boxes.py:168-208).
+
+    boxes: (..., N, 4) anchors/proposals; deltas: (..., N, 4*K) per-class
+    deltas. Returns (..., N, 4*K) decoded boxes. The "-1" on x2/y2 and the
+    exp clip are load-bearing for AP parity.
+    """
+    widths = boxes[..., 2] - boxes[..., 0] + 1.0
+    heights = boxes[..., 3] - boxes[..., 1] + 1.0
+    ctr_x = boxes[..., 0] + 0.5 * widths
+    ctr_y = boxes[..., 1] + 0.5 * heights
+
+    shape = deltas.shape
+    d = deltas.reshape(shape[:-1] + (-1, 4))
+    wx, wy, ww, wh = weights
+    dx = d[..., 0] / wx
+    dy = d[..., 1] / wy
+    dw = jnp.minimum(d[..., 2] / ww, BBOX_XFORM_CLIP)
+    dh = jnp.minimum(d[..., 3] / wh, BBOX_XFORM_CLIP)
+
+    pred_ctr_x = dx * widths[..., None] + ctr_x[..., None]
+    pred_ctr_y = dy * heights[..., None] + ctr_y[..., None]
+    pred_w = jnp.exp(dw) * widths[..., None]
+    pred_h = jnp.exp(dh) * heights[..., None]
+
+    out = jnp.stack(
+        [
+            pred_ctr_x - 0.5 * pred_w,
+            pred_ctr_y - 0.5 * pred_h,
+            pred_ctr_x + 0.5 * pred_w - 1.0,
+            pred_ctr_y + 0.5 * pred_h - 1.0,
+        ],
+        axis=-1,
+    )
+    return out.reshape(shape)
+
+
+def bbox_transform_inv(boxes, gt_boxes, weights=(1.0, 1.0, 1.0, 1.0)):
+    """Encode regression targets (reference boxes.py:211-242)."""
+    ex_w = boxes[..., 2] - boxes[..., 0] + 1.0
+    ex_h = boxes[..., 3] - boxes[..., 1] + 1.0
+    ex_cx = boxes[..., 0] + 0.5 * ex_w
+    ex_cy = boxes[..., 1] + 0.5 * ex_h
+
+    gt_w = gt_boxes[..., 2] - gt_boxes[..., 0] + 1.0
+    gt_h = gt_boxes[..., 3] - gt_boxes[..., 1] + 1.0
+    gt_cx = gt_boxes[..., 0] + 0.5 * gt_w
+    gt_cy = gt_boxes[..., 1] + 0.5 * gt_h
+
+    wx, wy, ww, wh = weights
+    return jnp.stack(
+        [
+            wx * (gt_cx - ex_cx) / ex_w,
+            wy * (gt_cy - ex_cy) / ex_h,
+            ww * jnp.log(gt_w / ex_w),
+            wh * jnp.log(gt_h / ex_h),
+        ],
+        axis=-1,
+    )
+
+
+def bbox_overlaps(boxes, query_boxes):
+    """Dense (N, K) IoU matrix, +1 convention (reference
+    lib/utils_cython/cython_bbox.pyx:32-73, vectorized)."""
+    area_q = (query_boxes[..., 2] - query_boxes[..., 0] + 1.0) * (
+        query_boxes[..., 3] - query_boxes[..., 1] + 1.0
+    )
+    area_b = (boxes[..., 2] - boxes[..., 0] + 1.0) * (
+        boxes[..., 3] - boxes[..., 1] + 1.0
+    )
+    iw = (
+        jnp.minimum(boxes[..., :, None, 2], query_boxes[..., None, :, 2])
+        - jnp.maximum(boxes[..., :, None, 0], query_boxes[..., None, :, 0])
+        + 1.0
+    )
+    ih = (
+        jnp.minimum(boxes[..., :, None, 3], query_boxes[..., None, :, 3])
+        - jnp.maximum(boxes[..., :, None, 1], query_boxes[..., None, :, 1])
+        + 1.0
+    )
+    iw = jnp.maximum(iw, 0.0)
+    ih = jnp.maximum(ih, 0.0)
+    inter = iw * ih
+    union = area_b[..., :, None] + area_q[..., None, :] - inter
+    return jnp.where(union > 0, inter / union, 0.0)
+
+
+def iou_one_to_many(box, boxes):
+    """IoU of a single box (4,) against (N, 4) — the inner step of greedy NMS."""
+    area1 = (box[2] - box[0] + 1.0) * (box[3] - box[1] + 1.0)
+    areas = (boxes[:, 2] - boxes[:, 0] + 1.0) * (boxes[:, 3] - boxes[:, 1] + 1.0)
+    iw = jnp.maximum(
+        0.0, jnp.minimum(box[2], boxes[:, 2]) - jnp.maximum(box[0], boxes[:, 0]) + 1.0
+    )
+    ih = jnp.maximum(
+        0.0, jnp.minimum(box[3], boxes[:, 3]) - jnp.maximum(box[1], boxes[:, 1]) + 1.0
+    )
+    inter = iw * ih
+    return inter / (area1 + areas - inter)
+
+
+def expand_boxes(boxes, scale):
+    """Scale boxes about their center (reference boxes.py:245-261).
+
+    Note: this one deliberately does NOT use the +1 convention (matches the
+    reference, which feeds it mask pasting ref-boxes).
+    """
+    w_half = (boxes[..., 2] - boxes[..., 0]) * 0.5 * scale
+    h_half = (boxes[..., 3] - boxes[..., 1]) * 0.5 * scale
+    x_c = (boxes[..., 2] + boxes[..., 0]) * 0.5
+    y_c = (boxes[..., 3] + boxes[..., 1]) * 0.5
+    return jnp.stack(
+        [x_c - w_half, y_c - h_half, x_c + w_half, y_c + h_half], axis=-1
+    )
+
+
+def flip_boxes(boxes, im_width):
+    """Horizontal flip (reference boxes.py:264-269)."""
+    x1 = im_width - boxes[..., 2] - 1.0
+    x2 = im_width - boxes[..., 0] - 1.0
+    return jnp.stack([x1, boxes[..., 1], x2, boxes[..., 3]], axis=-1)
+
+
+def filter_boxes_mask(boxes, min_size, scale_factor, im_height, im_width):
+    """Validity mask version of proposal min-size/center-inside filtering
+    (reference lib/model/generate_proposals.py:151-163). Returns bool (...,N)."""
+    min_size = min_size * scale_factor
+    ws = boxes[..., 2] - boxes[..., 0] + 1.0
+    hs = boxes[..., 3] - boxes[..., 1] + 1.0
+    x_ctr = boxes[..., 0] + ws / 2.0
+    y_ctr = boxes[..., 1] + hs / 2.0
+    return (ws >= min_size) & (hs >= min_size) & (x_ctr < im_width) & (y_ctr < im_height)

@@ -1,0 +1,90 @@
+import numpy as np
+import jax
+
+from detectorch_tpu.ops import nms as N
+from tests.oracles import np_nms
+from tests.test_boxes import random_boxes
+
+
+def _run_nms(boxes, scores, max_out, thresh, valid=None):
+    idx, ok = N.nms(boxes, scores, max_out=max_out, iou_thresh=thresh, valid=valid)
+    idx = np.asarray(idx)
+    ok = np.asarray(ok)
+    return idx[ok]
+
+
+def test_nms_matches_cython_oracle(rng):
+    for trial in range(5):
+        boxes = random_boxes(rng, 200, size=200.0)
+        scores = rng.uniform(size=200).astype(np.float32)
+        dets = np.hstack([boxes, scores[:, None]]).astype(np.float32)
+        expected = np_nms(dets, 0.5)
+        got = _run_nms(boxes, scores, max_out=200, thresh=0.5)
+        np.testing.assert_array_equal(got, expected)
+
+
+def test_nms_suppress_at_equal_iou():
+    # the Cython loop suppresses at IoU >= thresh (pyx:84) — exact equality
+    boxes = np.array([[0, 0, 9, 9], [0, 0, 9, 9]], np.float32)
+    scores = np.array([0.9, 0.8], np.float32)
+    got = _run_nms(boxes, scores, max_out=2, thresh=1.0)
+    np.testing.assert_array_equal(got, [0])
+
+
+def test_nms_respects_valid_mask(rng):
+    boxes = random_boxes(rng, 50, size=100.0)
+    scores = rng.uniform(size=50).astype(np.float32)
+    valid = np.zeros(50, bool)
+    valid[:10] = True
+    got = _run_nms(boxes, scores, max_out=50, thresh=0.5, valid=valid)
+    assert set(got.tolist()) <= set(range(10))
+    expected = np_nms(
+        np.hstack([boxes[:10], scores[:10, None]]).astype(np.float32), 0.5
+    )
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_nms_max_out_truncation(rng):
+    boxes = random_boxes(rng, 100, size=2000.0)  # spread out, few suppressions
+    scores = rng.uniform(size=100).astype(np.float32)
+    got_idx, got_ok = N.nms(boxes, scores, max_out=5, iou_thresh=0.5)
+    assert got_idx.shape == (5,)
+    full = np_nms(np.hstack([boxes, scores[:, None]]).astype(np.float32), 0.5)
+    np.testing.assert_array_equal(np.asarray(got_idx)[np.asarray(got_ok)], full[:5])
+
+
+def test_batched_nms_vmap(rng):
+    boxes = np.stack([random_boxes(rng, 40, 150.0) for _ in range(3)])
+    scores = rng.uniform(size=(3, 40)).astype(np.float32)
+    idx, ok = N.batched_nms(boxes, scores, max_out=40, iou_thresh=0.5)
+    for b in range(3):
+        expected = np_nms(
+            np.hstack([boxes[b], scores[b][:, None]]).astype(np.float32), 0.5
+        )
+        got = np.asarray(idx[b])[np.asarray(ok[b])]
+        np.testing.assert_array_equal(got, expected)
+
+
+def test_nms_jits(rng):
+    boxes = random_boxes(rng, 64, 100.0)
+    scores = rng.uniform(size=64).astype(np.float32)
+    fn = jax.jit(lambda b, s: N.nms(b, s, max_out=32, iou_thresh=0.5))
+    idx, ok = fn(boxes, scores)
+    assert idx.shape == (32,)
+
+
+def test_soft_nms_linear_decays_scores():
+    boxes = np.array(
+        [[0, 0, 9, 9], [1, 1, 10, 10], [50, 50, 60, 60]], np.float32
+    )
+    scores = np.array([0.9, 0.8, 0.7], np.float32)
+    idx, s, ok = N.soft_nms(
+        boxes, scores, max_out=3, sigma=0.5, overlap_thresh=0.3,
+        score_thresh=0.001, method="linear",
+    )
+    idx, s, ok = np.asarray(idx), np.asarray(s), np.asarray(ok)
+    assert ok.all()
+    assert idx[0] == 0 and s[0] == np.float32(0.9)
+    # distant box keeps its score, overlapped one decays below it
+    assert idx[1] == 2 and s[1] == np.float32(0.7)
+    assert idx[2] == 1 and s[2] < 0.8
