@@ -1,0 +1,102 @@
+"""On-device detection postprocessing: per-class NMS + global top-K.
+
+Reference ``lib/utils/result_utils.py:76-168`` does this on the host with
+numpy + Cython NMS over variable-length per-class lists. Here it is one
+fixed-shape device program:
+
+  * unscale rois by im_scale, decode per-class deltas (weights 10,10,5,5),
+    clip to the original image (result_utils.py:83-89);
+  * per class j in 1..C-1 (one vmapped NMS over the class axis): mask scores
+    <= 0.05, NMS@0.5, keep top `detections_per_img` per class — exact,
+    because the global cap below can never admit more than K from one class;
+  * global top `detections_per_img` (100) across classes
+    (result_utils.py:160-166).
+
+Output is a padded (K, ...) detection set with a validity mask, which feeds
+the mask head *inside the same jit program*.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from detectorch_tpu.config import TestConfig
+from detectorch_tpu.ops import boxes as box_ops
+from detectorch_tpu.ops import nms as nms_ops
+
+
+class Detections(NamedTuple):
+    boxes: jax.Array    # (K, 4) fp32, original-image coords
+    scores: jax.Array   # (K,)
+    classes: jax.Array  # (K,) int32 (1..num_classes-1)
+    valid: jax.Array    # (K,) bool
+
+
+def decode_boxes(rois, bbox_deltas, im_scale, orig_h, orig_w, test_cfg: TestConfig):
+    """rois (N,4 scaled coords) + deltas (N,4C) -> per-class boxes (N,C,4)
+    in original-image coords, clipped."""
+    boxes = rois / im_scale
+    pred = box_ops.bbox_transform(boxes, bbox_deltas, test_cfg.bbox_reg_weights)
+    pred = box_ops.clip_boxes(pred, orig_h, orig_w)
+    n = rois.shape[0]
+    return pred.reshape(n, -1, 4)
+
+
+def postprocess_detections(
+    cls_scores,
+    bbox_deltas,
+    rois,
+    roi_valid,
+    im_scale,
+    orig_h,
+    orig_w,
+    test_cfg: TestConfig,
+    num_classes: int = 81,
+) -> Detections:
+    """cls_scores (N, C) softmax probs; bbox_deltas (N, 4C); rois (N, 4) in
+    network-input (scaled) coords; roi_valid (N,) bool."""
+    k = test_cfg.detections_per_img
+    pred = decode_boxes(rois, bbox_deltas, im_scale, orig_h, orig_w, test_cfg)
+
+    # drop background class 0; axes become (C-1, N, ...)
+    cls_boxes = jnp.transpose(pred[:, 1:, :], (1, 0, 2))
+    cls_sc = jnp.transpose(cls_scores[:, 1:], (1, 0))
+    # reference threshold is scores > score_thresh (result_utils.py:131)
+    valid = roi_valid[None, :] & (cls_sc > test_cfg.score_thresh)
+
+    if test_cfg.soft_nms:
+        def one_class(b, s, v):
+            idx, sc, ok = nms_ops.soft_nms(
+                b, s, max_out=k, sigma=test_cfg.soft_nms_sigma,
+                overlap_thresh=test_cfg.nms_thresh, score_thresh=0.0001,
+                method=test_cfg.soft_nms_method, valid=v,
+            )
+            return idx, sc, ok
+
+        keep_idx, keep_scores, keep_ok = jax.vmap(one_class)(cls_boxes, cls_sc, valid)
+    else:
+        keep_idx, keep_ok = nms_ops.batched_nms(
+            cls_boxes, cls_sc, max_out=k, iou_thresh=test_cfg.nms_thresh, valid=valid
+        )
+        keep_scores = jnp.take_along_axis(cls_sc, keep_idx, axis=1)
+
+    keep_boxes = jnp.take_along_axis(cls_boxes, keep_idx[..., None], axis=1)
+    keep_scores = jnp.where(keep_ok, keep_scores, -jnp.inf)
+
+    # global top-K across classes (result_utils.py:160-166)
+    flat_scores = keep_scores.reshape(-1)
+    flat_boxes = keep_boxes.reshape(-1, 4)
+    flat_cls = jnp.broadcast_to(
+        jnp.arange(1, num_classes, dtype=jnp.int32)[:, None], keep_scores.shape
+    ).reshape(-1)
+    top_scores, top_idx = jax.lax.top_k(flat_scores, k)
+    ok = top_scores > -jnp.inf
+    return Detections(
+        boxes=flat_boxes[top_idx],
+        scores=jnp.where(ok, top_scores, 0.0),
+        classes=jnp.where(ok, flat_cls[top_idx], 0),
+        valid=ok,
+    )

@@ -1,0 +1,259 @@
+"""Detector assembly: image -> padded detections (+ masks), one jit program.
+
+Reference orchestration: ``lib/model/detector.py:233-286`` (forward) plus the
+notebook-driven postprocess/mask calls (``eval_mask*.ipynb`` cell 10,
+``lib/utils/result_utils.py``). The reference bounces to numpy for proposal
+top-k/NMS, FPN level routing and all postprocessing; here every stage is a
+fixed-shape on-device op, so the entire pipeline — backbone, RPN, proposal
+NMS, RoIAlign, box head, per-class NMS, mask head — compiles into a single
+XLA program with no host round-trips.
+
+The public entry points are builder functions that close over static config
+(model preset, padded input shape) and return functions ready for jax.jit /
+jax.vmap / sharding.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from detectorch_tpu.config import ModelConfig, TestConfig
+from detectorch_tpu.eval.postprocess import Detections, postprocess_detections
+from detectorch_tpu.models import fpn as fpn_mod
+from detectorch_tpu.models import heads as heads_mod
+from detectorch_tpu.models import resnet as resnet_mod
+from detectorch_tpu.models import rpn as rpn_mod
+from detectorch_tpu.ops import boxes as box_ops
+from detectorch_tpu.ops import nms as nms_ops
+from detectorch_tpu.ops.anchors import shifted_anchors
+from detectorch_tpu.ops.fpn_levels import map_rois_to_fpn_levels
+from detectorch_tpu.ops.roi_align import (
+    multilevel_roi_align,
+    roi_align_matmul,
+)
+
+
+class ModelOutputs(NamedTuple):
+    detections: Detections          # (K,) padded final detections
+    masks: Optional[jax.Array]      # (K, M, M) class-gathered probs, or None
+    rois: jax.Array                 # (N, 4) box-branch rois (scaled coords)
+    roi_valid: jax.Array            # (N,) bool
+    cls_scores: jax.Array           # (N, C)
+    bbox_deltas: jax.Array          # (N, 4C)
+
+
+def _fpn_level_proposals(params, cfg: ModelConfig, pyramid, im_h, im_w, im_scale):
+    """Shared-head RPN on P2..P6; per-level decode, then ONE vmapped NMS over
+    levels, then global collect (reference detector.py:244-256)."""
+    rpn_cfg = cfg.rpn
+    fcfg = cfg.fpn
+    min_lvl = fcfg.roi_min_level  # 2
+    levels = list(range(min_lvl, fcfg.roi_max_level + 1))  # RoI levels 2..5
+    rpn_feats = list(pyramid)
+    if fcfg.extra_level:
+        rpn_feats.append(fpn_mod.subsample2x(pyramid[-1]))
+        rpn_levels = levels + [fcfg.roi_max_level + 1]  # RPN on 2..6
+    else:
+        rpn_levels = levels
+
+    cand_boxes, cand_scores, cand_valid = [], [], []
+    for feat, lvl in zip(rpn_feats, rpn_levels):
+        stride = float(2 ** lvl)
+        cls_prob, bbox_pred = rpn_mod.rpn_head(params, feat, prefix="_fpn2")
+        cls_prob, bbox_pred = cls_prob[0], bbox_pred[0]
+        fh, fw, a = cls_prob.shape
+        anchors = jnp.asarray(
+            shifted_anchors(
+                int(fh), int(fw), stride, (32.0 * 2 ** (lvl - 2),),
+                tuple(cfg.anchors.aspect_ratios),
+            )
+        )
+        scores = cls_prob.reshape(-1)
+        deltas = bbox_pred.reshape(-1, 4)
+        k = min(rpn_cfg.pre_nms_top_n, scores.shape[0])
+        top_scores, top_idx = jax.lax.top_k(scores, k)
+        props = box_ops.bbox_transform(anchors[top_idx], deltas[top_idx])
+        props = box_ops.clip_boxes(props, im_h, im_w)
+        ok = box_ops.filter_boxes_mask(props, rpn_cfg.min_size, im_scale, im_h, im_w)
+        pad = rpn_cfg.pre_nms_top_n - k
+        if pad:
+            props = jnp.pad(props, ((0, pad), (0, 0)))
+            top_scores = jnp.pad(top_scores, (0, pad))
+            ok = jnp.pad(ok, (0, pad))
+        cand_boxes.append(props)
+        cand_scores.append(top_scores)
+        cand_valid.append(ok)
+
+    boxes = jnp.stack(cand_boxes)    # (L, pre, 4)
+    scores = jnp.stack(cand_scores)  # (L, pre)
+    valid = jnp.stack(cand_valid)
+    idx, ok = nms_ops.batched_nms(
+        boxes, scores, max_out=rpn_cfg.post_nms_top_n,
+        iou_thresh=rpn_cfg.nms_thresh, valid=valid,
+    )
+    lvl_props = [
+        rpn_mod.Proposals(
+            boxes=boxes[l][idx[l]],
+            scores=jnp.where(ok[l], scores[l][idx[l]], 0.0),
+            valid=ok[l],
+        )
+        for l in range(len(rpn_feats))
+    ]
+    return rpn_mod.collect_proposals(lvl_props, rpn_cfg.post_nms_top_n)
+
+
+def make_inference_fn(
+    cfg: ModelConfig,
+    test_cfg: TestConfig,
+    num_proposals: Optional[int] = None,
+):
+    """Build the single-image inference program for `cfg`.
+
+    Returns fn(params, image, im_scale, orig_h, orig_w[, proposals,
+    proposals_valid]) -> ModelOutputs, where:
+      image: (H, W, 3) float32, RGB, mean-subtracted, resized+padded
+             (H, W static; divisible by 32 for FPN);
+      im_scale: () scale factor applied to the original image;
+      orig_h/orig_w: () original image dims (traced fp32 scalars);
+      proposals: (P, 4) scaled-coordinate rois (Fast R-CNN mode, cfg.use_rpn
+                 False), with validity mask.
+    """
+    n_props = num_proposals or test_cfg.max_proposals
+
+    def forward(params, image, im_scale, orig_h, orig_w,
+                proposals=None, proposals_valid=None):
+        im_h, im_w = float(image.shape[0]), float(image.shape[1])
+        x = image[None].astype(jnp.dtype(cfg.compute_dtype))
+
+        if cfg.use_fpn:
+            feats = resnet_mod.multilevel_body(params, x, cfg.arch)
+            pyramid = fpn_mod.fpn_neck(params, feats, cfg.arch)  # P2..P5
+        else:
+            c4 = resnet_mod.c4_body(params, x, cfg.arch)
+
+        # --- proposals ---------------------------------------------------
+        if cfg.use_rpn:
+            if cfg.use_fpn:
+                props = _fpn_level_proposals(
+                    params, cfg, pyramid, im_h, im_w, im_scale
+                )
+            else:
+                cls_prob, bbox_pred = rpn_mod.rpn_head(params, c4, prefix="")
+                props = rpn_mod.generate_proposals(
+                    cls_prob[0], bbox_pred[0], im_h, im_w, im_scale,
+                    feat_stride=1.0 / cfg.spatial_scale,
+                    anchor_sizes=cfg.anchors.sizes,
+                    anchor_aspect_ratios=cfg.anchors.aspect_ratios,
+                    pre_nms_top_n=cfg.rpn.pre_nms_top_n,
+                    post_nms_top_n=cfg.rpn.post_nms_top_n,
+                    nms_thresh=cfg.rpn.nms_thresh,
+                    min_size=cfg.rpn.min_size,
+                )
+            rois, roi_valid = props.boxes, props.valid
+        else:
+            assert proposals is not None, "Fast R-CNN mode needs proposals"
+            rois = proposals.astype(jnp.float32)
+            roi_valid = (
+                proposals_valid
+                if proposals_valid is not None
+                else jnp.ones(rois.shape[0], jnp.bool_)
+            )
+
+        # --- box branch ---------------------------------------------------
+        if cfg.use_fpn:
+            roi_levels = map_rois_to_fpn_levels(
+                rois, cfg.fpn.roi_min_level, cfg.fpn.roi_max_level,
+                cfg.fpn.roi_canonical_scale, cfg.fpn.roi_canonical_level,
+            ) - cfg.fpn.roi_min_level
+            level_feats = [p[0] for p in pyramid]
+            roi_feats = multilevel_roi_align(
+                level_feats, rois, roi_levels, cfg.fpn_spatial_scales,
+                cfg.roi_size, cfg.roi_size, cfg.roi_sampling_ratio,
+            )
+            box_feats = heads_mod.mlp_box_head(params, roi_feats)
+        else:
+            roi_feats = roi_align_matmul(
+                c4[0], rois, cfg.roi_size, cfg.roi_size,
+                cfg.spatial_scale, cfg.roi_sampling_ratio,
+            ).astype(jnp.dtype(cfg.compute_dtype))
+            box_feats = heads_mod.res5_box_head(params, roi_feats, cfg.arch)
+
+        cls_scores, bbox_deltas = heads_mod.box_predictors(params, box_feats)
+
+        dets = postprocess_detections(
+            cls_scores, bbox_deltas, rois, roi_valid,
+            im_scale, orig_h, orig_w, test_cfg, cfg.num_classes,
+        )
+
+        # --- mask branch (on final detections, reference demo flow) ------
+        masks = None
+        if cfg.use_mask:
+            mask_rois = dets.boxes * im_scale
+            msize = cfg.mask.roi_size
+            if cfg.use_fpn:
+                mask_levels = map_rois_to_fpn_levels(
+                    mask_rois, cfg.fpn.roi_min_level, cfg.fpn.roi_max_level,
+                    cfg.fpn.roi_canonical_scale, cfg.fpn.roi_canonical_level,
+                ) - cfg.fpn.roi_min_level
+                mask_feats = multilevel_roi_align(
+                    level_feats, mask_rois, mask_levels, cfg.fpn_spatial_scales,
+                    msize, msize, cfg.roi_sampling_ratio,
+                )
+            else:
+                mask_feats = roi_align_matmul(
+                    c4[0], mask_rois, msize, msize,
+                    cfg.spatial_scale, cfg.roi_sampling_ratio,
+                )
+            mask_feats = mask_feats.astype(jnp.dtype(cfg.compute_dtype))
+            mask_probs = heads_mod.mask_head(
+                params, mask_feats, cfg.mask.head_type, cfg.arch
+            )  # (K, M, M, C)
+            # class-specific mask channel (result_utils.py:199)
+            masks = jnp.take_along_axis(
+                mask_probs, dets.classes[:, None, None, None], axis=-1
+            )[..., 0]
+
+        return ModelOutputs(
+            detections=dets,
+            masks=masks,
+            rois=rois,
+            roi_valid=roi_valid,
+            cls_scores=cls_scores,
+            bbox_deltas=bbox_deltas,
+        )
+
+    return forward
+
+
+def init_params(cfg: ModelConfig, seed: int = 0) -> Dict[str, jnp.ndarray]:
+    """Random parameters with the same blob names the caffe2 importer emits —
+    lets every code path (and benchmarks) run without real weights."""
+    p = {}
+    p.update(resnet_mod.init_resnet_params(cfg.arch, include_c5=True, seed=seed))
+    if cfg.use_fpn:
+        p.update(fpn_mod.init_fpn_params(cfg.arch, cfg.fpn.channels, seed=seed + 1))
+        if cfg.use_rpn:
+            p.update(
+                rpn_mod.init_rpn_params(
+                    cfg.fpn.channels, len(cfg.anchors.aspect_ratios),
+                    prefix="_fpn2", seed=seed + 2,
+                )
+            )
+    elif cfg.use_rpn:
+        p.update(
+            rpn_mod.init_rpn_params(1024, cfg.anchors.num_anchors, prefix="", seed=seed + 2)
+        )
+    p.update(
+        heads_mod.init_box_head_params(
+            cfg.box_head, cfg.roi_feature_channels, cfg.num_classes, seed=seed + 3
+        )
+    )
+    if cfg.use_mask:
+        p.update(
+            heads_mod.init_mask_head_params(cfg.mask.head_type, cfg.num_classes, seed=seed + 4)
+        )
+    return p

@@ -1,0 +1,135 @@
+"""Box, classification and mask heads.
+
+Reference: ``lib/model/detector.py:54-112`` (two_layer_mlp_head,
+four_layer_conv, mask_head) and ``:211-223`` (cls/bbox Linear heads).
+Blob names: fc6/fc7, cls_score, bbox_pred, conv5_mask, mask_fcn_logits,
+_[mask]_fcn{1..4} (reference detector.py:312-351).
+
+Note on fc6: caffe2's fc6 weights expect a (C, H, W)-major flatten of the
+7x7x256 RoI feature; we flatten NHWC (H, W, C) and the checkpoint importer
+permutes the fc6 columns accordingly (see checkpoint/caffe2_import.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from detectorch_tpu.models.resnet import c5_head, conv
+
+
+def linear(params, x, name: str):
+    """caffe2 FC: weights stored (out, in); y = x @ W^T + b (fp32)."""
+    w = params[f"{name}_w"].astype(jnp.float32)
+    b = params[f"{name}_b"].astype(jnp.float32)
+    return x.astype(jnp.float32) @ w.T + b
+
+
+def mlp_box_head(params, roi_feats):
+    """fc6+fc7 (reference two_layer_mlp_head, detector.py:54-65).
+
+    roi_feats: (N, 7, 7, 256) -> (N, 1024) fp32.
+    """
+    x = roi_feats.reshape(roi_feats.shape[0], -1)
+    x = jax.nn.relu(linear(params, x, "fc6"))
+    x = jax.nn.relu(linear(params, x, "fc7"))
+    return x
+
+
+def res5_box_head(params, roi_feats, arch: str = "resnet50"):
+    """layer4 + global average pool (reference conv_head ['layer4','avgpool']).
+
+    roi_feats: (N, 14, 14, 1024) -> (N, 2048) fp32.
+    """
+    x = c5_head(params, roi_feats, arch=arch, stride=2)  # (N, 7, 7, 2048)
+    return jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
+
+
+def box_predictors(params, box_feats, output_prob: bool = True):
+    """cls_score (softmax over 81) + bbox_pred (4*81 deltas)
+    (reference detector.py:277-284)."""
+    cls_score = linear(params, box_feats, "cls_score")
+    if output_prob:
+        cls_score = jax.nn.softmax(cls_score, axis=-1)
+    bbox_pred = linear(params, box_feats, "bbox_pred")
+    return cls_score, bbox_pred
+
+
+def deconv2x2(params, x, name: str):
+    """ConvTranspose2d(kernel 2, stride 2): non-overlapping upsample — each
+    input pixel emits a 2x2 block. Weights stored (C_in, C_out, 2, 2)
+    (caffe2/torch ConvTranspose layout, reference detector.py:89)."""
+    w = params[f"{name}_w"].astype(x.dtype)  # (C, O, 2, 2)
+    b = params[f"{name}_b"].astype(x.dtype)
+    n, h, ww, c = x.shape
+    y = jnp.einsum("nhwc,coab->nhawbo", x, w)
+    y = y.reshape(n, h * 2, ww * 2, w.shape[1])
+    return y + b
+
+
+def four_layer_conv_trunk(params, x):
+    """FPN mask trunk: 4x (3x3 conv 256 + relu) with _[mask]_fcn{i} blobs
+    (reference four_layer_conv, detector.py:67-82)."""
+    for i in range(1, 5):
+        x = jax.nn.relu(
+            conv(x, params[f"_[mask]_fcn{i}_w"], pad=1)
+            + params[f"_[mask]_fcn{i}_b"].astype(x.dtype)
+        )
+    return x
+
+
+def mask_head(params, roi_feats, head_type: str, arch: str = "resnet50",
+              output_prob: bool = True):
+    """Mask branch on post-NMS detection rois (reference mask_head.forward,
+    detector.py:99-112).
+
+    roi_feats: (N, 14, 14, C) RoIAligned features.
+    Returns (N, M, M, 81) sigmoid probabilities (or logits).
+    """
+    if head_type == "upshare":
+        x = c5_head(params, roi_feats, arch=arch, stride=2)  # (N,7,7,2048)
+    elif head_type == "1up4convs":
+        x = four_layer_conv_trunk(params, roi_feats)  # (N,14,14,256)
+    else:
+        raise ValueError(head_type)
+    x = jax.nn.relu(deconv2x2(params, x, "conv5_mask"))
+    logits = conv(x, params["mask_fcn_logits_w"]) + params["mask_fcn_logits_b"].astype(x.dtype)
+    logits = logits.astype(jnp.float32)
+    return jax.nn.sigmoid(logits) if output_prob else logits
+
+
+# ---------------------------------------------------------------------------
+# Random init
+# ---------------------------------------------------------------------------
+
+
+def init_box_head_params(box_head: str = "mlp", feat_ch: int = 1024,
+                         num_classes: int = 81, seed: int = 3):
+    rng = np.random.RandomState(seed)
+    p = {}
+    if box_head == "mlp":
+        p["fc6_w"] = (rng.randn(1024, 7 * 7 * 256) * 0.01).astype(np.float32)
+        p["fc6_b"] = np.zeros(1024, np.float32)
+        p["fc7_w"] = (rng.randn(1024, 1024) * 0.01).astype(np.float32)
+        p["fc7_b"] = np.zeros(1024, np.float32)
+    p["cls_score_w"] = (rng.randn(num_classes, feat_ch) * 0.01).astype(np.float32)
+    p["cls_score_b"] = np.zeros(num_classes, np.float32)
+    p["bbox_pred_w"] = (rng.randn(4 * num_classes, feat_ch) * 0.001).astype(np.float32)
+    p["bbox_pred_b"] = np.zeros(4 * num_classes, np.float32)
+    return p
+
+
+def init_mask_head_params(head_type: str = "1up4convs", num_classes: int = 81, seed: int = 4):
+    rng = np.random.RandomState(seed)
+    p = {}
+    trunk_out = 256 if head_type == "1up4convs" else 2048
+    if head_type == "1up4convs":
+        for i in range(1, 5):
+            p[f"_[mask]_fcn{i}_w"] = (rng.randn(3, 3, 256, 256) * 0.01).astype(np.float32)
+            p[f"_[mask]_fcn{i}_b"] = np.zeros(256, np.float32)
+    p["conv5_mask_w"] = (rng.randn(trunk_out, 256, 2, 2) * 0.01).astype(np.float32)
+    p["conv5_mask_b"] = np.zeros(256, np.float32)
+    p["mask_fcn_logits_w"] = (rng.randn(1, 1, 256, num_classes) * 0.01).astype(np.float32)
+    p["mask_fcn_logits_b"] = np.zeros(num_classes, np.float32)
+    return p

@@ -139,26 +139,27 @@ def roi_align_matmul(
     return out
 
 
-def _gather_bilinear(flat_features, base_offset, ys, xs, w_live, height, width):
+def _gather_bilinear(flat_features, base_offset, ys, xs, w_live, lvl_h, lvl_w, row_stride):
     """Gather 4 neighbours for each sample point and blend.
 
-    flat_features: (T, C) flattened atlas rows; base_offset: (N,) int32 flat
+    flat_features: (T, C) flattened feature rows; base_offset: (N,) int32 flat
     offset of each roi's level slab; ys/xs: (N, P) clamped sample coords;
-    w_live: (N, P) 0/1 sample mask. Returns (N, P, C) float32.
+    w_live: (N, P) 0/1 sample mask; lvl_h/lvl_w: (N,) per-roi valid extent;
+    row_stride: (N,) per-roi row pitch. Returns (N, P, C) float32.
     """
-    y0 = jnp.floor(ys).astype(jnp.int32)
-    x0 = jnp.floor(xs).astype(jnp.int32)
-    y0 = jnp.clip(y0, 0, height - 1)
-    x0 = jnp.clip(x0, 0, width - 1)
-    y1 = jnp.minimum(y0 + 1, height - 1)
-    x1 = jnp.minimum(x0 + 1, width - 1)
+    y_max = (lvl_h - 1)[:, None]
+    x_max = (lvl_w - 1)[:, None]
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, y_max)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, x_max)
+    y1 = jnp.minimum(y0 + 1, y_max)
+    x1 = jnp.minimum(x0 + 1, x_max)
     ly = ys - y0.astype(jnp.float32)
     lx = xs - x0.astype(jnp.float32)
     hy = 1.0 - ly
     hx = 1.0 - lx
 
     def take(yy, xx):
-        idx = base_offset[:, None] + yy * width + xx
+        idx = base_offset[:, None] + yy * row_stride[:, None] + xx
         return jnp.take(flat_features, idx.reshape(-1), axis=0).reshape(
             idx.shape + (flat_features.shape[-1],)
         )
@@ -215,6 +216,9 @@ def multilevel_roi_align_gather(
       level_shapes[l] = (H_l, W_l), rest is padding.
     rois: (N, 4) image-space xyxy; levels: (N,) int32 in [0, L).
     Returns (N, PH, PW, C) float32.
+
+    Prefer `multilevel_roi_align` (row-concatenated levels, no padding waste)
+    in model code; this padded-atlas variant is kept for kernel tests.
     """
     nlvl, max_h, max_w, channels = atlas.shape
     scales = jnp.asarray(np.asarray(level_scales, np.float32))
@@ -261,10 +265,93 @@ def multilevel_roi_align_gather(
 
     flat = atlas.reshape(-1, channels).astype(jnp.float32)
     base = levels * (max_h * max_w)
+    row_stride = jnp.full_like(levels, max_w)
     vals = _gather_bilinear(
-        flat, base, yy, xx, live.astype(jnp.float32), max_h, max_w
+        flat, base, yy, xx, live.astype(jnp.float32), lvl_h, lvl_w, row_stride
     )  # (N, P, C)
 
+    vals = vals.reshape(n, pooled_h, pooled_w, max_grid * max_grid, channels)
+    summed = jnp.sum(vals, axis=3)
+    inv_count = 1.0 / (grid_h * grid_w).astype(jnp.float32)
+    return summed * inv_count[:, None, None, None]
+
+
+def multilevel_roi_align(
+    feature_list,
+    rois,
+    levels,
+    level_scales: Sequence[float],
+    pooled_h: int,
+    pooled_w: int,
+    sampling_ratio: int = 2,
+    max_grid: int = 8,
+):
+    """RoIAlign over a list of FPN levels, row-concatenated (no pad waste).
+
+    feature_list: list of (H_l, W_l, C) maps, finest first; rois: (N, 4)
+    image-space xyxy; levels: (N,) int32 indices into feature_list.
+    Returns (N, PH, PW, C) float32.
+
+    This is the production FPN path: the level index folds into a flat gather
+    offset, replacing the reference's host-side collect/distribute + restore
+    (collect_and_distribute_fpn_rpn_proposals.py:108-129) with pure index
+    arithmetic inside the jit program.
+    """
+    channels = feature_list[0].shape[-1]
+    shapes_np = np.asarray([f.shape[:2] for f in feature_list], np.int32)
+    offsets_np = np.concatenate(
+        [[0], np.cumsum(shapes_np[:, 0] * shapes_np[:, 1])]
+    ).astype(np.int32)
+    flat = jnp.concatenate(
+        [f.reshape(-1, channels) for f in feature_list], axis=0
+    ).astype(jnp.float32)
+
+    scales = jnp.asarray(np.asarray(level_scales, np.float32))
+    shapes = jnp.asarray(shapes_np)
+    offsets = jnp.asarray(offsets_np[:-1])
+    roi_scale = scales[levels]
+    lvl_h = shapes[levels, 0]
+    lvl_w = shapes[levels, 1]
+    base = offsets[levels]
+
+    start_h, start_w, bin_h, bin_w, grid_h, grid_w = _roi_geometry(
+        rois, roi_scale, pooled_h, pooled_w, sampling_ratio, max_grid
+    )
+    if sampling_ratio > 0:
+        max_grid = sampling_ratio
+    ys = _sample_coords(start_h, bin_h, grid_h, pooled_h, max_grid)
+    xs = _sample_coords(start_w, bin_w, grid_w, pooled_w, max_grid)
+
+    fh = lvl_h.astype(jnp.float32)[:, None, None]
+    fw = lvl_w.astype(jnp.float32)[:, None, None]
+    live_y = (ys >= -1.0) & (ys <= fh) & (
+        jnp.arange(max_grid, dtype=jnp.int32)[None, None, :] < grid_h[:, None, None]
+    )
+    live_x = (xs >= -1.0) & (xs <= fw) & (
+        jnp.arange(max_grid, dtype=jnp.int32)[None, None, :] < grid_w[:, None, None]
+    )
+    ysc = jnp.clip(ys, 0.0, fh - 1.0)
+    xsc = jnp.clip(xs, 0.0, fw - 1.0)
+
+    n = rois.shape[0]
+    yy = jnp.broadcast_to(
+        ysc[:, :, None, :, None], (n, pooled_h, pooled_w, max_grid, max_grid)
+    ).reshape(n, -1)
+    xx = jnp.broadcast_to(
+        xsc[:, None, :, None, :], (n, pooled_h, pooled_w, max_grid, max_grid)
+    ).reshape(n, -1)
+    live = (
+        jnp.broadcast_to(
+            live_y[:, :, None, :, None], (n, pooled_h, pooled_w, max_grid, max_grid)
+        )
+        & jnp.broadcast_to(
+            live_x[:, None, :, None, :], (n, pooled_h, pooled_w, max_grid, max_grid)
+        )
+    ).reshape(n, -1)
+
+    vals = _gather_bilinear(
+        flat, base, yy, xx, live.astype(jnp.float32), lvl_h, lvl_w, lvl_w
+    )
     vals = vals.reshape(n, pooled_h, pooled_w, max_grid * max_grid, channels)
     summed = jnp.sum(vals, axis=3)
     inv_count = 1.0 / (grid_h * grid_w).astype(jnp.float32)

@@ -92,6 +92,30 @@ def test_multilevel_atlas_matches_per_level(rng):
     np.testing.assert_allclose(got[2], exp2[0], rtol=1e-4, atol=1e-4)
 
 
+def test_multilevel_list_matches_per_level(rng):
+    # production (row-concatenated) variant, 3 levels of different shapes
+    shapes = [(16, 20), (8, 10), (4, 5)]
+    c = 8
+    feats = [rng.randn(h, w, c).astype(np.float32) for h, w in shapes]
+    scales = (0.25, 0.125, 0.0625)
+    rois = np.array(
+        [[10, 10, 60, 60], [5, 5, 120, 100], [0, 0, 30, 40], [2, 2, 70, 50]],
+        np.float32,
+    )
+    levels = np.array([0, 1, 2, 0], np.int32)
+    got = np.asarray(
+        R.multilevel_roi_align(
+            feats, rois, levels, scales, pooled_h=7, pooled_w=7, sampling_ratio=2
+        )
+    ).transpose(0, 3, 1, 2)
+    for i in range(len(rois)):
+        lvl = levels[i]
+        exp = np_roi_align(
+            feats[lvl].transpose(2, 0, 1), rois[[i]], 7, 7, scales[lvl], 2
+        )
+        np.testing.assert_allclose(got[i], exp[0], rtol=1e-4, atol=1e-4)
+
+
 def test_roi_align_differentiable(rng):
     feats, rois = make_case(rng, n=4)
 
