@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Headline benchmark: Mask R-CNN R-50-FPN inference throughput.
+
+Runs the full single-jit pipeline (backbone -> FPN -> RPN -> NMS -> RoIAlign
+-> heads -> per-class NMS -> mask head) on the standard 800x1333 bucket,
+batched and sharded over all available devices.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline target (BASELINE.json): >= 50 images/sec on a v5e-8; with fewer
+devices the target scales as 50 * ndev / 8 (pure data-parallel inference).
+All other output goes to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    from detectorch_tpu.config import PRESETS, TestConfig
+    from detectorch_tpu.models.detector import init_params
+    from detectorch_tpu.parallel.mesh import (
+        make_batched_inference_fn,
+        make_mesh,
+        shard_batch,
+        shard_params,
+    )
+
+    ndev = len(jax.devices())
+    log(f"devices: {jax.devices()}")
+    cfg = PRESETS["e2e_mask_rcnn_R-50-FPN_2x"]
+    test_cfg = TestConfig()
+    params = init_params(cfg, seed=0)
+
+    mesh = make_mesh(model_parallel=1)
+    fn = make_batched_inference_fn(cfg, test_cfg, mesh)
+    params = shard_params(params, mesh)
+
+    per_dev_batch = int(os.environ.get("BENCH_PER_DEV_BATCH", "2"))
+    b = ndev * per_dev_batch
+    h, w = 832, 1344
+    rng = np.random.RandomState(0)
+    images = (rng.randn(b, h, w, 3) * 50).astype(np.float32)
+    scales = np.full(b, 1.66, np.float32)
+    ohs = np.full(b, 500.0, np.float32)
+    ows = np.full(b, 800.0, np.float32)
+    batch = shard_batch(mesh, images, scales, ohs, ows)
+
+    log(f"compiling (batch={b}, {h}x{w})...")
+    t0 = time.time()
+    out = jax.block_until_ready(fn(params, *batch))
+    log(f"compile+first: {time.time()-t0:.1f}s")
+
+    iters = int(os.environ.get("BENCH_ITERS", "4"))
+    t0 = time.time()
+    for _ in range(iters):
+        out = jax.block_until_ready(fn(params, *batch))
+    dt = (time.time() - t0) / iters
+    img_per_sec = b / dt
+    log(f"steady: {dt*1000:.1f} ms/batch -> {img_per_sec:.2f} img/s on {ndev} device(s)")
+
+    target = 50.0 * ndev / 8.0
+    print(
+        json.dumps(
+            {
+                "metric": "mask_rcnn_r50_fpn_inference_throughput",
+                "value": round(img_per_sec, 3),
+                "unit": f"images/sec ({ndev} devices, batch {b})",
+                "vs_baseline": round(img_per_sec / target, 4),
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -151,7 +151,11 @@ def init_resnet_params(
 
     def add_conv_bn(name, kh, kw, cin, cout):
         p[f"{name}_w"] = _he(rng, kh, kw, cin, cout)
-        p[f"{name}_bn_s"] = np.ones(cout, np.float32)
+        # zero-init the residual-closing BN scale (branch2c) so the random
+        # network is near-identity and activations stay bounded — real
+        # checkpoints overwrite these anyway
+        scale = 0.0 if name.endswith("branch2c") else 1.0
+        p[f"{name}_bn_s"] = np.full(cout, scale, np.float32)
         p[f"{name}_bn_b"] = np.zeros(cout, np.float32)
 
     p["conv1_w"] = _he(rng, 7, 7, 3, 64)

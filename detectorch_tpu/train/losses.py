@@ -1,0 +1,45 @@
+"""Training losses (reference ``lib/model/loss.py:13-26`` + the cross-entropy
+used directly in ``train_fast.py:147``)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def smooth_l1(
+    bbox_pred,
+    bbox_targets,
+    bbox_inside_weights=1.0,
+    bbox_outside_weights=1.0,
+    beta: float = 1.0,
+):
+    """Detectron smooth-L1 with per-element inside/outside weights
+    (reference loss.py:13-20): sum over all elements / N rows."""
+    diff = bbox_inside_weights * (bbox_pred - bbox_targets)
+    abs_diff = jnp.abs(diff)
+    flag = (abs_diff < beta).astype(bbox_pred.dtype)
+    per_elem = flag * 0.5 * diff * diff / beta + (1.0 - flag) * (abs_diff - 0.5 * beta)
+    per_elem = bbox_outside_weights * per_elem
+    n = bbox_pred.shape[0]
+    return jnp.sum(per_elem) / n
+
+
+def softmax_cross_entropy(logits, labels, valid=None):
+    """Mean CE over (valid) rows — torch F.cross_entropy semantics with int
+    labels (train_fast.py:147)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    if valid is None:
+        return jnp.mean(nll)
+    valid = valid.astype(nll.dtype)
+    return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+
+def accuracy(logits, labels, valid=None):
+    """reference loss.py:22-26."""
+    correct = (jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32)
+    if valid is None:
+        return jnp.mean(correct)
+    valid = valid.astype(jnp.float32)
+    return jnp.sum(correct * valid) / jnp.maximum(jnp.sum(valid), 1.0)

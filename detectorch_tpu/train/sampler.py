@@ -1,0 +1,96 @@
+"""Per-image RoI minibatch sampling for Fast R-CNN training (host side).
+
+Reference ``lib/utils/fast_rcnn_sample_rois.py:41-163``. Differences forced
+by static shapes: the output is always padded to `rois_per_image` rows with a
+validity mask (the reference emits fewer rows when an image lacks rois; its
+loss divides by the actual count — we carry the mask into the loss instead).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from detectorch_tpu.config import SamplerConfig
+from detectorch_tpu.data.coco import RoidbEntry
+
+
+def expand_bbox_targets(compact: np.ndarray, num_classes: int = 81):
+    """(N, 5) [cls, tx, ty, tw, th] -> (N, 4K) targets + inside weights
+    (reference fast_rcnn_sample_rois.py:139-163)."""
+    n = compact.shape[0]
+    targets = np.zeros((n, 4 * num_classes), np.float32)
+    inside = np.zeros_like(targets)
+    clss = compact[:, 0].astype(np.int32)
+    for ind in np.where(clss > 0)[0]:
+        s = 4 * clss[ind]
+        targets[ind, s : s + 4] = compact[ind, 1:]
+        inside[ind, s : s + 4] = 1.0
+    return targets, inside
+
+
+def sample_rois(
+    entry: RoidbEntry,
+    im_scale: float,
+    rng: np.random.RandomState,
+    cfg: SamplerConfig = SamplerConfig(),
+    num_classes: int = 81,
+) -> Dict[str, np.ndarray]:
+    """One image -> fixed-shape training blobs.
+
+    Returns rois (R,4 scaled), labels (R,), bbox_targets (R,4K),
+    bbox_inside_weights, bbox_outside_weights, valid (R,).
+    """
+    rois_per_image = cfg.rois_per_image
+    fg_per_image = int(np.round(cfg.fg_fraction * rois_per_image))
+    max_overlaps = entry.max_overlaps
+
+    fg_inds = np.where(max_overlaps >= cfg.fg_thresh)[0]
+    fg_count = min(fg_per_image, fg_inds.size)
+    if fg_inds.size > 0:
+        fg_inds = rng.choice(fg_inds, size=fg_count, replace=False)
+    bg_inds = np.where(
+        (max_overlaps < cfg.bg_thresh_hi) & (max_overlaps >= cfg.bg_thresh_lo)
+    )[0]
+    bg_count = min(rois_per_image - fg_count, bg_inds.size)
+    if bg_inds.size > 0:
+        bg_inds = rng.choice(bg_inds, size=bg_count, replace=False)
+
+    keep = np.append(fg_inds[:fg_count], bg_inds[:bg_count]).astype(np.int64)
+    labels = entry.max_classes[keep].copy()
+    labels[fg_count:] = 0
+    boxes = entry.boxes[keep]
+
+    if entry.bbox_targets is not None:
+        compact = entry.bbox_targets[keep]
+    else:
+        from detectorch_tpu.ops.boxes import bbox_transform_inv
+
+        gt_inds = np.where(entry.gt_classes > 0)[0]
+        assignments = gt_inds[entry.box_to_gt_ind_map[keep]]
+        compact = np.zeros((len(keep), 5), np.float32)
+        compact[:, 0] = labels
+        compact[:, 1:] = np.asarray(
+            bbox_transform_inv(boxes, entry.boxes[assignments], (10.0, 10.0, 5.0, 5.0))
+        )
+    targets, inside = expand_bbox_targets(compact, num_classes)
+    outside = (inside > 0).astype(np.float32)
+
+    n = len(keep)
+    r = rois_per_image
+    out = {
+        "rois": np.zeros((r, 4), np.float32),
+        "labels": np.zeros(r, np.int32),
+        "bbox_targets": np.zeros((r, 4 * num_classes), np.float32),
+        "bbox_inside_weights": np.zeros((r, 4 * num_classes), np.float32),
+        "bbox_outside_weights": np.zeros((r, 4 * num_classes), np.float32),
+        "valid": np.zeros(r, bool),
+    }
+    out["rois"][:n] = boxes * im_scale
+    out["labels"][:n] = labels
+    out["bbox_targets"][:n] = targets
+    out["bbox_inside_weights"][:n] = inside
+    out["bbox_outside_weights"][:n] = outside
+    out["valid"][:n] = True
+    return out

@@ -1,0 +1,84 @@
+"""Training statistics: median-smoothed windows, ETA, json-line logging.
+
+Reference ``lib/utils/training_stats.py:35-114`` + ``lib/utils/logging.py:35-81``
+(SmoothedValue / log_json_stats)."""
+
+from __future__ import annotations
+
+import datetime
+import json
+from collections import defaultdict, deque
+
+import numpy as np
+
+from detectorch_tpu.utils.timer import Timer
+
+
+class SmoothedValue:
+    """Median/mean over a sliding window (reference logging.py:44-63)."""
+
+    def __init__(self, window_size: int = 20):
+        self.deque = deque(maxlen=window_size)
+        self.series = []
+        self.total = 0.0
+        self.count = 0
+
+    def add_value(self, value: float):
+        self.deque.append(value)
+        self.series.append(value)
+        self.count += 1
+        self.total += value
+
+    def get_median_value(self) -> float:
+        return float(np.median(self.deque)) if self.deque else 0.0
+
+    def get_average_value(self) -> float:
+        return self.total / max(self.count, 1)
+
+
+def log_json_stats(stats: dict):
+    print("json_stats: {:s}".format(json.dumps(stats, sort_keys=True)), flush=True)
+
+
+class TrainingStats:
+    """reference training_stats.py:35-114 semantics: iter timer, smoothed
+    losses, ETA, periodic json_stats emission."""
+
+    def __init__(self, max_iter: int, log_period: int = 20, window_size: int = 20):
+        self.max_iter = max_iter
+        self.log_period = log_period
+        self.iter_timer = Timer()
+        self.smoothed_losses = defaultdict(lambda: SmoothedValue(window_size))
+        self.smoothed_metrics = defaultdict(lambda: SmoothedValue(window_size))
+        self.cur_iter = 0
+
+    def iter_tic(self):
+        self.iter_timer.tic()
+
+    def iter_toc(self):
+        return self.iter_timer.toc(average=False)
+
+    def update_iter_stats(self, cur_iter: int, losses: dict, metrics: dict):
+        self.cur_iter = cur_iter
+        for k, v in losses.items():
+            self.smoothed_losses[k].add_value(float(v))
+        for k, v in metrics.items():
+            self.smoothed_metrics[k].add_value(float(v))
+
+    def get_stats(self, cur_iter: int, lr: float) -> dict:
+        eta_seconds = self.iter_timer.average_time * (self.max_iter - cur_iter)
+        stats = {
+            "iter": cur_iter,
+            "time": self.iter_timer.average_time,
+            "eta": str(datetime.timedelta(seconds=int(eta_seconds))),
+            "lr": float(lr),
+        }
+        for k, v in self.smoothed_losses.items():
+            stats[k] = v.get_median_value()
+        for k, v in self.smoothed_metrics.items():
+            stats[k] = v.get_median_value()
+        return stats
+
+    def log_iter_stats(self, cur_iter: int, lr: float):
+        if cur_iter % self.log_period == 0:
+            log_json_stats(self.get_stats(cur_iter, lr))

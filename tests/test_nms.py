@@ -65,6 +65,53 @@ def test_batched_nms_vmap(rng):
         np.testing.assert_array_equal(got, expected)
 
 
+def test_blocked_matches_loop_and_oracle(rng):
+    # the blocked formulation must be bit-identical to the sequential greedy
+    for n, thresh, size in [(300, 0.5, 150.0), (700, 0.7, 400.0), (130, 0.3, 80.0)]:
+        boxes = random_boxes(rng, n, size=size)  # dense overlaps
+        scores = rng.uniform(size=n).astype(np.float32)
+        expected = np_nms(np.hstack([boxes, scores[:, None]]).astype(np.float32), thresh)
+        idx, ok = N.nms_blocked(boxes, scores, max_out=n, iou_thresh=thresh)
+        got = np.asarray(idx)[np.asarray(ok)]
+        np.testing.assert_array_equal(got, expected, err_msg=f"n={n} t={thresh}")
+
+
+def test_blocked_with_valid_mask_and_truncation(rng):
+    boxes = random_boxes(rng, 500, size=300.0)
+    scores = rng.uniform(size=500).astype(np.float32)
+    valid = rng.uniform(size=500) > 0.3
+    expected = np_nms(
+        np.hstack([boxes[valid], scores[valid][:, None]]).astype(np.float32), 0.5
+    )
+    orig_idx = np.where(valid)[0]
+    idx, ok = N.nms_blocked(boxes, scores, max_out=10, iou_thresh=0.5, valid=valid)
+    got = np.asarray(idx)[np.asarray(ok)]
+    np.testing.assert_array_equal(got, orig_idx[expected][:10])
+
+
+def test_blocked_max_out_exceeds_n(rng):
+    boxes = random_boxes(rng, 40, size=2000.0)
+    scores = rng.uniform(size=40).astype(np.float32)
+    idx, ok = N.nms_blocked(boxes, scores, max_out=300, iou_thresh=0.5)
+    assert idx.shape == (300,)
+    expected = np_nms(np.hstack([boxes, scores[:, None]]).astype(np.float32), 0.5)
+    np.testing.assert_array_equal(np.asarray(idx)[np.asarray(ok)], expected)
+
+
+def test_blocked_vmaps(rng):
+    import jax
+
+    boxes = np.stack([random_boxes(rng, 256, 120.0) for _ in range(4)])
+    scores = rng.uniform(size=(4, 256)).astype(np.float32)
+    fn = jax.vmap(lambda b, s: N.nms_blocked(b, s, max_out=50, iou_thresh=0.5))
+    idx, ok = fn(boxes, scores)
+    for i in range(4):
+        expected = np_nms(
+            np.hstack([boxes[i], scores[i][:, None]]).astype(np.float32), 0.5
+        )[:50]
+        np.testing.assert_array_equal(np.asarray(idx[i])[np.asarray(ok[i])], expected)
+
+
 def test_nms_jits(rng):
     boxes = random_boxes(rng, 64, 100.0)
     scores = rng.uniform(size=64).astype(np.float32)

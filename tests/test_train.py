@@ -1,0 +1,164 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from detectorch_tpu.config import PRESETS, SamplerConfig, SolverConfig
+from detectorch_tpu.data.coco import RoidbEntry
+from detectorch_tpu.models.detector import init_params
+from detectorch_tpu.train import losses as L
+from detectorch_tpu.train import sampler as S
+from detectorch_tpu.train import solver as SV
+from detectorch_tpu.train.train_step import make_train_step
+
+
+def test_smooth_l1_matches_torch(rng):
+    pred = rng.randn(8, 12).astype(np.float32)
+    tgt = rng.randn(8, 12).astype(np.float32)
+    iw = (rng.uniform(size=(8, 12)) > 0.5).astype(np.float32)
+    ow = (rng.uniform(size=(8, 12)) > 0.3).astype(np.float32)
+    got = float(L.smooth_l1(pred, tgt, iw, ow))
+    # reference loss.py:13-20 in torch
+    d = torch.from_numpy(iw) * (torch.from_numpy(pred) - torch.from_numpy(tgt))
+    ad = d.abs()
+    sign = (ad < 1.0).float()
+    loss = sign * 0.5 * d ** 2 + (1 - sign) * (ad - 0.5)
+    exp = float((torch.from_numpy(ow) * loss).sum() / 8)
+    np.testing.assert_allclose(got, exp, rtol=1e-5)
+
+
+def test_cross_entropy_matches_torch(rng):
+    logits = rng.randn(16, 81).astype(np.float32)
+    labels = rng.randint(0, 81, 16).astype(np.int32)
+    got = float(L.softmax_cross_entropy(logits, labels))
+    exp = float(F.cross_entropy(torch.from_numpy(logits), torch.from_numpy(labels).long()))
+    np.testing.assert_allclose(got, exp, rtol=1e-5)
+
+
+def test_lr_schedule_matches_reference():
+    cfg = SolverConfig()
+    # reference solver.py hand-checks
+    np.testing.assert_allclose(float(SV.get_lr_at_iter(0, cfg)), 0.01 / 3, rtol=1e-6)
+    np.testing.assert_allclose(
+        float(SV.get_lr_at_iter(250, cfg)), 0.01 * (1 / 3 * 0.5 + 0.5), rtol=1e-6
+    )
+    np.testing.assert_allclose(float(SV.get_lr_at_iter(500, cfg)), 0.01, rtol=1e-6)
+    np.testing.assert_allclose(float(SV.get_lr_at_iter(239999, cfg)), 0.01, rtol=1e-6)
+    np.testing.assert_allclose(float(SV.get_lr_at_iter(240000, cfg)), 0.001, rtol=1e-6)
+    np.testing.assert_allclose(float(SV.get_lr_at_iter(350000, cfg)), 0.0001, rtol=1e-6)
+
+
+def make_entry(rng, n_gt=2, n_props=40):
+    h, w = 120, 160
+    gt_boxes = np.array([[10, 10, 60, 60], [70, 30, 120, 100]], np.float32)[:n_gt]
+    props = []
+    for _ in range(n_props):
+        x1 = rng.uniform(0, w - 30)
+        y1 = rng.uniform(0, h - 30)
+        props.append([x1, y1, x1 + rng.uniform(10, 60), y1 + rng.uniform(10, 60)])
+    props = np.asarray(props, np.float32)
+    props[:, [0, 2]] = np.clip(props[:, [0, 2]], 0, w - 1)
+    props[:, [1, 3]] = np.clip(props[:, [1, 3]], 0, h - 1)
+    boxes = np.vstack([gt_boxes, props])
+    from detectorch_tpu.data.coco import _np_bbox_overlaps
+
+    ov = _np_bbox_overlaps(boxes, gt_boxes)
+    max_ov = ov.max(1)
+    classes = np.array([1, 2])[:n_gt][ov.argmax(1)]
+    max_cls = np.where(max_ov > 0, classes, 0)
+    e = RoidbEntry(
+        image_id=1, file_path="", height=h, width=w,
+        boxes=boxes,
+        gt_classes=np.concatenate([np.array([1, 2])[:n_gt], np.zeros(n_props, np.int32)]),
+        is_crowd=np.zeros(len(boxes), np.uint8),
+        max_overlaps=max_ov,
+        max_classes=max_cls.astype(np.int32),
+        box_to_gt_ind_map=ov.argmax(1).astype(np.int32),
+    )
+    return e
+
+
+def test_sampler_fixed_shapes_and_ratios(rng):
+    e = make_entry(rng)
+    cfg = SamplerConfig(rois_per_image=64)
+    blobs = S.sample_rois(e, im_scale=2.0, rng=rng, cfg=cfg)
+    assert blobs["rois"].shape == (64, 4)
+    assert blobs["labels"].shape == (64,)
+    assert blobs["bbox_targets"].shape == (64, 324)
+    n_valid = blobs["valid"].sum()
+    assert 0 < n_valid <= 64
+    # fg count <= 25%
+    assert (blobs["labels"] > 0).sum() <= round(0.25 * 64)
+    # rois scaled by im_scale: all within 2x image bounds
+    v = blobs["valid"]
+    assert blobs["rois"][v, 2].max() <= e.width * 2
+    # fg rows have nonzero inside weights at their class slot
+    fg = np.where(blobs["labels"] > 0)[0]
+    for i in fg:
+        c = blobs["labels"][i]
+        assert blobs["bbox_inside_weights"][i, 4 * c : 4 * c + 4].sum() == 4.0
+
+
+def test_expand_bbox_targets():
+    compact = np.array([[0, 0, 0, 0, 0], [3, 0.1, 0.2, 0.3, 0.4]], np.float32)
+    t, iw = S.expand_bbox_targets(compact, num_classes=5)
+    assert t.shape == (2, 20)
+    assert t[0].sum() == 0 and iw[0].sum() == 0
+    np.testing.assert_allclose(t[1, 12:16], [0.1, 0.2, 0.3, 0.4])
+    np.testing.assert_allclose(iw[1, 12:16], 1.0)
+    assert iw[1].sum() == 4.0
+
+
+def test_train_step_learns(rng):
+    cfg = PRESETS["fast_rcnn_R-50-C4_2x"].replace(compute_dtype="float32")
+    params = init_params(cfg, seed=0)
+    # random-init backbones have O(10) feature scales (real training starts
+    # from ImageNet weights), so use a small lr for this overfit check
+    solver = SolverConfig(base_lr=1e-4, warmup_iters=0, weight_decay=0.0)
+    init_state, make_step = make_train_step(cfg, solver)
+    state, tx = init_state(params)
+    step = jax.jit(make_step(tx))
+
+    e = make_entry(rng)
+    scfg = SamplerConfig(rois_per_image=32)
+    b = S.sample_rois(e, 0.5, rng, scfg)
+    image = rng.randn(64, 80, 3).astype(np.float32)
+    batch = {
+        "image": image[None],
+        "rois": b["rois"][None],
+        "labels": b["labels"][None],
+        "bbox_targets": b["bbox_targets"][None],
+        "bbox_inside_weights": b["bbox_inside_weights"][None],
+        "bbox_outside_weights": b["bbox_outside_weights"][None],
+        "valid": b["valid"][None],
+    }
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # overfits a single batch
+    # frozen layers unchanged
+    np.testing.assert_array_equal(
+        np.asarray(state.params["conv1_w"]), np.asarray(params["conv1_w"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(state.params["res2_0_branch2a_w"]),
+        np.asarray(params["res2_0_branch2a_w"]),
+    )
+    # trainable layers changed
+    assert not np.array_equal(
+        np.asarray(state.params["cls_score_w"]), np.asarray(params["cls_score_w"])
+    )
+
+
+def test_checkpoint_save_restore(tmp_path, rng):
+    from detectorch_tpu.checkpoint import store
+
+    tree = {"params": {"w": rng.randn(4, 4).astype(np.float32)}, "step": np.int32(7)}
+    store.save_checkpoint(str(tmp_path), 7, tree)
+    assert store.latest_checkpoint(str(tmp_path)).endswith("ckpt-7")
+    restored = store.restore_checkpoint(store.latest_checkpoint(str(tmp_path)), tree)
+    np.testing.assert_array_equal(restored["params"]["w"], tree["params"]["w"])
+    assert int(restored["step"]) == 7

@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""COCO evaluation CLI (rebuild of the reference eval_*.ipynb notebooks).
+
+Runs any of the seven README model presets over a COCO dataset and reports
+box (and mask) AP via the native COCOeval.
+
+Usage:
+  python tools/eval_coco.py --preset e2e_mask_rcnn_R-50-FPN_2x \
+      --weights model_final.pkl --ann instances_minival2014.json \
+      --imdir val2014 [--proposals proposals.pkl] [--limit 100]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", required=True)
+    p.add_argument("--weights", required=True, help="Detectron .pkl checkpoint")
+    p.add_argument("--ann", required=True)
+    p.add_argument("--imdir", required=True)
+    p.add_argument("--proposals", default=None,
+                   help="proposal .pkl (required for fast_rcnn presets)")
+    p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--out", default=None, help="write results json here")
+    p.add_argument("--fp32", action="store_true", help="fp32 backbone compute")
+    args = p.parse_args()
+
+    from detectorch_tpu.config import PRESETS, TestConfig
+    from detectorch_tpu.checkpoint import caffe2_import as c2
+    from detectorch_tpu.data.coco import CocoDataset
+    from detectorch_tpu.eval.engine import evaluate_dataset
+
+    cfg = PRESETS[args.preset]
+    if args.fp32:
+        cfg = cfg.replace(compute_dtype="float32")
+    test_cfg = TestConfig()
+
+    print(f"loading weights {args.weights}", flush=True)
+    blobs = c2.load_caffe2_pkl(args.weights)
+    params = c2.import_params(blobs, cfg)
+    params = c2.fold_bn(params)
+
+    ds = CocoDataset(args.ann, args.imdir)
+    roidb = ds.get_roidb(
+        gt=False, proposal_file=args.proposals if not cfg.use_rpn else None
+    )
+    bbox_stats, segm_stats, info = evaluate_dataset(
+        cfg, test_cfg, params, ds, roidb=roidb, limit=args.limit
+    )
+    print(f"throughput: {info['images_per_sec']:.2f} images/sec", flush=True)
+    if bbox_stats is not None:
+        print(f"box AP: {bbox_stats[0] * 100:.1f}")
+    if segm_stats is not None:
+        print(f"mask AP: {segm_stats[0] * 100:.1f}")
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(
+                {"bbox": info["bbox"], "segm": info["segm"]}, f
+            )
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
