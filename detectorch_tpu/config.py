@@ -129,6 +129,9 @@ class TestConfig:
     soft_nms: bool = False
     soft_nms_sigma: float = 0.5
     soft_nms_method: str = "linear"
+    do_bbox_vote: bool = False
+    bbox_vote_thresh: float = 0.8
+    bbox_vote_method: str = "ID"
     # maximum number of input proposals fed to the box branch (Fast R-CNN
     # precomputed proposals get padded/truncated to this)
     max_proposals: int = 1000

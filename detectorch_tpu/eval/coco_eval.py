@@ -115,24 +115,147 @@ class COCO:
         return res
 
 
+def evaluate_box_proposals(
+    proposals_per_image,
+    gt_boxes_per_image,
+    thresholds=None,
+    area: str = "all",
+    limit: int = 1000,
+):
+    """Proposal recall / AR evaluator (reference
+    json_dataset_evaluator.py:238-319 semantics).
+
+    proposals_per_image: list of (N_i, 4) xyxy arrays (ranked);
+    gt_boxes_per_image: list of (G_i, 4) xyxy non-crowd gt arrays.
+    Returns dict with 'ar', 'recalls', 'thresholds', 'num_pos'.
+    """
+    areas = {
+        "all": (0.0, 1e5 ** 2),
+        "small": (0.0, 32 ** 2),
+        "medium": (32 ** 2, 96 ** 2),
+        "large": (96 ** 2, 1e5 ** 2),
+    }
+    a_lo, a_hi = areas[area]
+    if thresholds is None:
+        thresholds = np.arange(0.5, 0.95 + 1e-5, 0.05)
+    gt_overlaps = []
+    num_pos = 0
+    for props, gts in zip(proposals_per_image, gt_boxes_per_image):
+        gts = np.asarray(gts, np.float64).reshape(-1, 4)
+        ar = (gts[:, 2] - gts[:, 0] + 1) * (gts[:, 3] - gts[:, 1] + 1)
+        keep = (ar >= a_lo) & (ar < a_hi)
+        gts = gts[keep]
+        num_pos += len(gts)
+        props = np.asarray(props, np.float64).reshape(-1, 4)[:limit]
+        if len(gts) == 0 or len(props) == 0:
+            continue
+        # +1-convention IoU matrix
+        pa = (props[:, 2] - props[:, 0] + 1) * (props[:, 3] - props[:, 1] + 1)
+        ga = (gts[:, 2] - gts[:, 0] + 1) * (gts[:, 3] - gts[:, 1] + 1)
+        iw = np.maximum(
+            0,
+            np.minimum(props[:, None, 2], gts[None, :, 2])
+            - np.maximum(props[:, None, 0], gts[None, :, 0]) + 1,
+        )
+        ih = np.maximum(
+            0,
+            np.minimum(props[:, None, 3], gts[None, :, 3])
+            - np.maximum(props[:, None, 1], gts[None, :, 1]) + 1,
+        )
+        inter = iw * ih
+        overlaps = inter / (pa[:, None] + ga[None, :] - inter)
+        # greedy one-to-one assignment, best pair first (reference :287-303)
+        _gt_ov = np.zeros(len(gts))
+        ov = overlaps.copy()
+        for _ in range(min(len(props), len(gts))):
+            argmax_overlaps = ov.argmax(axis=0)
+            max_overlaps = ov.max(axis=0)
+            gt_ind = max_overlaps.argmax()
+            gt_ovr = max_overlaps.max()
+            if gt_ovr < 0:
+                break
+            box_ind = argmax_overlaps[gt_ind]
+            _gt_ov[gt_ind] = overlaps[box_ind, gt_ind]
+            ov[box_ind, :] = -1
+            ov[:, gt_ind] = -1
+        gt_overlaps.append(_gt_ov)
+    gt_overlaps = (
+        np.concatenate(gt_overlaps) if gt_overlaps else np.zeros(0)
+    )
+    gt_overlaps = np.sort(gt_overlaps)
+    recalls = np.array([(gt_overlaps >= t).mean() if len(gt_overlaps) else 0.0
+                        for t in thresholds])
+    return {
+        "ar": float(recalls.mean()),
+        "recalls": recalls,
+        "thresholds": thresholds,
+        "num_pos": num_pos,
+        "gt_overlaps": gt_overlaps,
+    }
+
+
+# COCO person-keypoint OKS falloff constants (pycocotools computeOks)
+KPT_SIGMAS = np.array(
+    [.26, .25, .25, .35, .35, .79, .79, .72, .72, .62, .62,
+     1.07, 1.07, .87, .87, .89, .89]
+) / 10.0
+
+
+def _compute_oks(dts, gts, sigmas=KPT_SIGMAS):
+    """(D, G) OKS matrix (pycocotools computeOks semantics)."""
+    if len(dts) == 0 or len(gts) == 0:
+        return np.zeros((len(dts), len(gts)))
+    variances = (sigmas * 2) ** 2
+    k = len(sigmas)
+    out = np.zeros((len(dts), len(gts)))
+    for j, gt in enumerate(gts):
+        g = np.asarray(gt["keypoints"], np.float64)
+        xg, yg, vg = g[0::3], g[1::3], g[2::3]
+        k1 = int(np.count_nonzero(vg > 0))
+        bb = gt["bbox"]
+        x0, x1 = bb[0] - bb[2], bb[0] + bb[2] * 2
+        y0, y1 = bb[1] - bb[3], bb[1] + bb[3] * 2
+        for i, dt in enumerate(dts):
+            d = np.asarray(dt["keypoints"], np.float64)
+            xd, yd = d[0::3], d[1::3]
+            if k1 > 0:
+                dx = xd - xg
+                dy = yd - yg
+            else:
+                dx = np.maximum(x0 - xd, 0) + np.maximum(xd - x1, 0)
+                dy = np.maximum(y0 - yd, 0) + np.maximum(yd - y1, 0)
+            e = (dx ** 2 + dy ** 2) / variances / (gt["area"] + np.spacing(1)) / 2
+            if k1 > 0:
+                e = e[vg > 0]
+            out[i, j] = np.sum(np.exp(-e)) / e.shape[0] if e.shape[0] else 0.0
+    return out
+
+
 class COCOeval:
-    """Standard COCO detection evaluation (bbox | segm)."""
+    """Standard COCO detection evaluation (bbox | segm | keypoints)."""
 
     def __init__(self, coco_gt: COCO, coco_dt: COCO, iou_type: str = "bbox"):
-        assert iou_type in ("bbox", "segm")
+        assert iou_type in ("bbox", "segm", "keypoints")
         self.coco_gt = coco_gt
         self.coco_dt = coco_dt
         self.iou_type = iou_type
         self.iou_thrs = np.linspace(0.5, 0.95, 10)
         self.rec_thrs = np.linspace(0.0, 1.0, 101)
-        self.max_dets = [1, 10, 100]
-        self.area_rng = [
-            [0.0, 1e5 ** 2],
-            [0.0, 32 ** 2],
-            [32 ** 2, 96 ** 2],
-            [96 ** 2, 1e5 ** 2],
-        ]
-        self.area_lbl = ["all", "small", "medium", "large"]
+        if iou_type == "keypoints":
+            self.max_dets = [20]
+            self.area_rng = [
+                [0.0, 1e5 ** 2], [32 ** 2, 96 ** 2], [96 ** 2, 1e5 ** 2]
+            ]
+            self.area_lbl = ["all", "medium", "large"]
+        else:
+            self.max_dets = [1, 10, 100]
+            self.area_rng = [
+                [0.0, 1e5 ** 2],
+                [0.0, 32 ** 2],
+                [32 ** 2, 96 ** 2],
+                [96 ** 2, 1e5 ** 2],
+            ]
+            self.area_lbl = ["all", "small", "medium", "large"]
         self.img_ids = coco_gt.get_img_ids()
         self.cat_ids = coco_gt.get_cat_ids()
         self.eval_imgs = {}
@@ -148,6 +271,8 @@ class COCOeval:
             for ann in self.coco_gt.load_anns_for_image(img_id):
                 ann = dict(ann)
                 ann["ignore"] = ann.get("ignore", 0) or ann.get("iscrowd", 0)
+                if self.iou_type == "keypoints":
+                    ann["ignore"] = ann["ignore"] or ann.get("num_keypoints", 0) == 0
                 if self.iou_type == "segm":
                     ann["_rle"] = self.coco_gt.ann_to_rle(ann)
                 self._gts[(img_id, ann["category_id"])].append(ann)
@@ -169,6 +294,8 @@ class COCOeval:
             return _xywh_box_iou(
                 [d["bbox"] for d in dts], [g["bbox"] for g in gts], iscrowd
             )
+        if self.iou_type == "keypoints":
+            return _compute_oks(dts, gts)
         return rle_mod.rle_iou([d["_rle"] for d in dts], [g["_rle"] for g in gts], iscrowd)
 
     def _evaluate_img(self, img_id, cat_id, a_rng, max_det, ious):
@@ -320,6 +447,25 @@ class COCOeval:
         return float(np.mean(vals)) if vals.size else -1.0
 
     def summarize(self, verbose: bool = True):
+        if self.iou_type == "keypoints":
+            st = np.zeros(10)
+            st[0] = self._summarize(1, max_dets=20)
+            st[1] = self._summarize(1, iou_thr=0.5, max_dets=20)
+            st[2] = self._summarize(1, iou_thr=0.75, max_dets=20)
+            st[3] = self._summarize(1, area="medium", max_dets=20)
+            st[4] = self._summarize(1, area="large", max_dets=20)
+            st[5] = self._summarize(0, max_dets=20)
+            st[6] = self._summarize(0, iou_thr=0.5, max_dets=20)
+            st[7] = self._summarize(0, iou_thr=0.75, max_dets=20)
+            st[8] = self._summarize(0, area="medium", max_dets=20)
+            st[9] = self._summarize(0, area="large", max_dets=20)
+            self.stats = st
+            if verbose:
+                names = ["AP", "AP50", "AP75", "APm", "APl",
+                         "AR", "AR50", "AR75", "ARm", "ARl"]
+                for n, v in zip(names, st):
+                    print(f"  {n:6s} = {v:.3f}")
+            return st
         st = np.zeros(12)
         st[0] = self._summarize(1)
         st[1] = self._summarize(1, iou_thr=0.5)

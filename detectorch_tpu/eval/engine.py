@@ -59,8 +59,8 @@ class InferenceEngine:
             )
         return self._compiled[shape]
 
-    def run_image(self, im_rgb: np.ndarray, proposals: Optional[np.ndarray] = None):
-        """Single image -> host-side dict of final detections (+ mask rles)."""
+    def preprocess(self, im_rgb: np.ndarray, proposals: Optional[np.ndarray] = None):
+        """Host-side prep -> (args tuple, orig_h, orig_w). Thread-safe."""
         image, scale, (oh, ow) = T.preprocess_image(
             im_rgb, self.test_cfg.target_size, self.test_cfg.max_size,
             pad_stride=self.cfg.fpn.coarsest_stride if self.cfg.use_fpn else 32,
@@ -75,8 +75,17 @@ class InferenceEngine:
             scaled, _ = T.dedup_proposals(scaled, self.cfg.spatial_scale)
             padded, valid = T.pad_proposals(scaled, self.test_cfg.max_proposals)
             args += [padded, valid]
-        out = self._fn(image.shape)(*args)
-        return self._collect(out, oh, ow)
+        return args, oh, ow
+
+    def submit(self, args):
+        """Dispatch the device program asynchronously (jax async dispatch)."""
+        image = args[1]
+        return self._fn(image.shape)(*args)
+
+    def run_image(self, im_rgb: np.ndarray, proposals: Optional[np.ndarray] = None):
+        """Single image -> host-side dict of final detections (+ mask rles)."""
+        args, oh, ow = self.preprocess(im_rgb, proposals)
+        return self._collect(self.submit(args), oh, ow)
 
     def _collect(self, out, oh, ow):
         dets = out.detections
@@ -111,12 +120,29 @@ def evaluate_dataset(
     if limit:
         roidb = roidb[:limit]
 
-    bbox_results, segm_results_all = [], []
-    t0 = time.time()
-    for i, entry in enumerate(roidb):
+    from detectorch_tpu.data.loader import PrefetchLoader
+
+    def make_sample(entry):
         im = T.load_image_rgb(entry.file_path)
         proposals = entry.boxes if not cfg.use_rpn else None
-        res = engine.run_image(im, proposals)
+        args, oh, ow = engine.preprocess(im, proposals)
+        return entry, args, oh, ow
+
+    loader = PrefetchLoader(roidb, make_sample, num_workers=4, prefetch=8)
+
+    bbox_results, segm_results_all = [], []
+    t0 = time.time()
+    pending = None  # (entry, device_out, oh, ow) — 1-deep device pipeline
+    results_iter = []
+    for i, (entry, args, oh, ow) in enumerate(loader):
+        out = engine.submit(args)
+        if pending is not None:
+            results_iter.append((pending[0], engine._collect(pending[1], pending[2], pending[3])))
+        pending = (entry, out, oh, ow)
+    if pending is not None:
+        results_iter.append((pending[0], engine._collect(pending[1], pending[2], pending[3])))
+
+    for i, (entry, res) in enumerate(results_iter):
         bbox_results.extend(
             detections_to_coco_bbox(
                 res["boxes"], res["scores"], res["classes"],

@@ -84,6 +84,20 @@ def postprocess_detections(
         keep_scores = jnp.take_along_axis(cls_sc, keep_idx, axis=1)
 
     keep_boxes = jnp.take_along_axis(cls_boxes, keep_idx[..., None], axis=1)
+
+    if test_cfg.do_bbox_vote:
+        # refine kept boxes by voting with all above-threshold candidates of
+        # the class (reference result_utils.py:152-158 + boxes.py:280-329)
+        def vote_one(kb, ks, cb, cs, cv):
+            return box_ops.box_voting(
+                kb, ks, cb, jnp.where(cv, cs, 0.0), cv,
+                test_cfg.bbox_vote_thresh, test_cfg.bbox_vote_method,
+            )
+
+        keep_boxes, keep_scores = jax.vmap(vote_one)(
+            keep_boxes, keep_scores, cls_boxes, cls_sc, valid
+        )
+
     keep_scores = jnp.where(keep_ok, keep_scores, -jnp.inf)
 
     # global top-K across classes (result_utils.py:160-166)

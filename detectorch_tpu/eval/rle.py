@@ -14,8 +14,11 @@ here, so this module implements the same public format natively:
   * run-walk intersection areas and IoU with the crowd convention
     (`rle_iou`), no full-mask decode.
 
-These run on the host (RLE is inherently sequential/byte-oriented); the hot
-path is numpy-vectorised. A C++ drop-in can replace the internals later.
+These run on the host (RLE is inherently sequential/byte-oriented). The hot
+loops — pairwise run-walk IoU and the string codec — dispatch to the C++
+extension ``detectorch_tpu_rle_native`` (native/rle_ext.cpp, built by
+setup.py) when available, with the pure-numpy implementations as fallback;
+both are covered by the same tests.
 """
 
 from __future__ import annotations
@@ -23,6 +26,11 @@ from __future__ import annotations
 from typing import Dict, List, Sequence, Union
 
 import numpy as np
+
+try:
+    import detectorch_tpu_rle_native as _native
+except ImportError:  # pragma: no cover - environment without built ext
+    _native = None
 
 RLE = Dict[str, object]  # {'size': [h, w], 'counts': str | list[int]}
 
@@ -63,6 +71,8 @@ def decode_counts(counts: Sequence[int], h: int, w: int) -> np.ndarray:
 def counts_to_string(counts: Sequence[int]) -> str:
     """Signed 5-bit varint encoding with 2nd-order differences (maskApi
     rleToString semantics)."""
+    if _native is not None:
+        return _native.counts_to_string(np.asarray(counts, np.int64))
     s = []
     cnts = list(counts)
     for i, x in enumerate(cnts):
@@ -82,6 +92,8 @@ def counts_to_string(counts: Sequence[int]) -> str:
 def string_to_counts(s: Union[str, bytes]) -> List[int]:
     if isinstance(s, bytes):
         s = s.decode("ascii")
+    if _native is not None:
+        return _native.string_to_counts(s).tolist()
     counts: List[int] = []
     i = 0
     while i < len(s):
@@ -224,6 +236,12 @@ def rle_intersection_area(a: RLE, b: RLE) -> int:
 def rle_iou(dts: List[RLE], gts: List[RLE], iscrowd: Sequence[bool]) -> np.ndarray:
     """(D, G) IoU matrix with the COCO crowd convention: for crowd gt,
     iou = intersection / dt_area (pycocotools iou semantics)."""
+    if _native is not None:
+        return _native.iou_matrix(
+            [np.asarray(_as_counts(d), np.int64) for d in dts],
+            [np.asarray(_as_counts(g), np.int64) for g in gts],
+            [bool(c) for c in iscrowd],
+        )
     d_iv = [_one_intervals(_as_counts(d)) for d in dts]
     g_iv = [_one_intervals(_as_counts(g)) for g in gts]
     d_area = [int(np.sum(iv[:, 1] - iv[:, 0])) for iv in d_iv]

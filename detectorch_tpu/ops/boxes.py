@@ -175,6 +175,46 @@ def flip_boxes(boxes, im_width):
     return jnp.stack([x1, boxes[..., 1], x2, boxes[..., 3]], axis=-1)
 
 
+def box_voting(top_boxes, top_scores, all_boxes, all_scores, all_valid,
+               thresh: float, scoring_method: str = "ID", beta: float = 1.0):
+    """Box voting (reference boxes.py:280-329) as a fixed-shape device op.
+
+    Each kept box is replaced by the score-weighted average of all candidate
+    boxes overlapping it with IoU >= thresh. Scoring methods: ID (keep),
+    AVG, IOU_AVG, GENERALIZED_AVG, QUASI_SUM (TEMP_AVG omitted — unused by
+    Detectron configs).
+
+    top_boxes (K, 4), all_boxes (N, 4) with validity mask. Returns
+    (voted_boxes (K, 4), voted_scores (K,)).
+    """
+    ious = bbox_overlaps(top_boxes, all_boxes)  # (K, N)
+    vote = (ious >= thresh) & all_valid[None, :]
+    w = jnp.where(vote, all_scores[None, :], 0.0)
+    wsum = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-12)
+    voted = jnp.einsum("kn,nc->kc", w, all_boxes) / wsum
+
+    if scoring_method == "ID":
+        scores = top_scores
+    elif scoring_method == "AVG":
+        cnt = jnp.maximum(jnp.sum(vote, axis=1), 1)
+        scores = jnp.sum(w, axis=1) / cnt
+    elif scoring_method == "IOU_AVG":
+        iw = jnp.where(vote, ious, 0.0)
+        scores = jnp.sum(iw * all_scores[None, :], axis=1) / jnp.maximum(
+            jnp.sum(iw, axis=1), 1e-12
+        )
+    elif scoring_method == "GENERALIZED_AVG":
+        cnt = jnp.maximum(jnp.sum(vote, axis=1), 1)
+        p = jnp.where(vote, all_scores[None, :] ** beta, 0.0)
+        scores = (jnp.sum(p, axis=1) / cnt) ** (1.0 / beta)
+    elif scoring_method == "QUASI_SUM":
+        cnt = jnp.maximum(jnp.sum(vote, axis=1), 1)
+        scores = jnp.sum(w, axis=1) / cnt.astype(jnp.float32) ** beta
+    else:
+        raise NotImplementedError(scoring_method)
+    return voted, scores
+
+
 def filter_boxes_mask(boxes, min_size, scale_factor, im_height, im_width):
     """Validity mask version of proposal min-size/center-inside filtering
     (reference lib/model/generate_proposals.py:151-163). Returns bool (...,N)."""

@@ -92,6 +92,63 @@ def test_segmentation_to_rle_variants(rng):
     np.testing.assert_array_equal(R.decode(out2), m)
 
 
+def test_native_matches_python(rng):
+    """When the C++ extension is built, its results must match the pure
+    Python implementations exactly."""
+    try:
+        import detectorch_tpu_rle_native as native
+    except ImportError:
+        import pytest
+
+        pytest.skip("native extension not built")
+    for _ in range(3):
+        a = [R.encode_counts(random_mask(rng, 33, 47)) for _ in range(3)]
+        b = [R.encode_counts(random_mask(rng, 33, 47)) for _ in range(2)]
+        crowd = [False, True]
+        got = native.iou_matrix(
+            [np.asarray(x, np.int64) for x in a],
+            [np.asarray(x, np.int64) for x in b],
+            crowd,
+        )
+        exp = np.zeros((3, 2))
+        for i in range(3):
+            for j in range(2):
+                ia = R._one_intervals(a[i])
+                ib = R._one_intervals(b[j])
+                inter = R._interval_intersection(ia, ib)
+                da = (ia[:, 1] - ia[:, 0]).sum()
+                db = (ib[:, 1] - ib[:, 0]).sum()
+                denom = da if crowd[j] else da + db - inter
+                exp[i, j] = inter / denom if denom else 0.0
+        np.testing.assert_allclose(got, exp, rtol=1e-12)
+        # codec equality
+        for c in a:
+            s_py = "".join(
+                R.counts_to_string.__wrapped__(c)
+                if hasattr(R.counts_to_string, "__wrapped__")
+                else _python_counts_to_string(c)
+            )
+            assert native.counts_to_string(np.asarray(c, np.int64)) == s_py
+            assert native.string_to_counts(s_py).tolist() == list(c)
+
+
+def _python_counts_to_string(counts):
+    s = []
+    cnts = list(counts)
+    for i, x in enumerate(cnts):
+        if i > 2:
+            x -= cnts[i - 2]
+        more = True
+        while more:
+            c = x & 0x1F
+            x >>= 5
+            more = (x != -1) if (c & 0x10) else (x != 0)
+            if more:
+                c |= 0x20
+            s.append(chr(c + 48))
+    return "".join(s)
+
+
 def test_merge_union(rng):
     a = random_mask(rng, 12, 12)
     b = random_mask(rng, 12, 12)
