@@ -174,7 +174,9 @@ def make_inference_fn(
                 level_feats, rois, roi_levels, cfg.fpn_spatial_scales,
                 cfg.roi_size, cfg.roi_size, cfg.roi_sampling_ratio,
             )
-            box_feats = heads_mod.mlp_box_head(params, roi_feats)
+            box_feats = heads_mod.mlp_box_head(
+                params, roi_feats, jnp.dtype(cfg.compute_dtype)
+            )
         else:
             roi_feats = roi_align_matmul(
                 c4[0], rois, cfg.roi_size, cfg.roi_size,
@@ -182,7 +184,9 @@ def make_inference_fn(
             ).astype(jnp.dtype(cfg.compute_dtype))
             box_feats = heads_mod.res5_box_head(params, roi_feats, cfg.arch)
 
-        cls_scores, bbox_deltas = heads_mod.box_predictors(params, box_feats)
+        cls_scores, bbox_deltas = heads_mod.box_predictors(
+            params, box_feats, dtype=jnp.dtype(cfg.compute_dtype)
+        )
 
         dets = postprocess_detections(
             cls_scores, bbox_deltas, rois, roi_valid,

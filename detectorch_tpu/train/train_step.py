@@ -47,7 +47,9 @@ def box_branch_loss(params, cfg: ModelConfig, image, rois, labels,
             [p[0] for p in pyramid], rois, levels, cfg.fpn_spatial_scales,
             cfg.roi_size, cfg.roi_size, cfg.roi_sampling_ratio,
         )
-        box_feats = heads_mod.mlp_box_head(params, roi_feats)
+        box_feats = heads_mod.mlp_box_head(
+            params, roi_feats, jnp.dtype(cfg.compute_dtype)
+        )
     else:
         c4 = resnet_mod.c4_body(params, x, cfg.arch)
         roi_feats = roi_align_matmul(
@@ -57,7 +59,7 @@ def box_branch_loss(params, cfg: ModelConfig, image, rois, labels,
         box_feats = heads_mod.res5_box_head(params, roi_feats, cfg.arch)
 
     cls_logits, bbox_pred = heads_mod.box_predictors(
-        params, box_feats, output_prob=False
+        params, box_feats, output_prob=False, dtype=jnp.dtype(cfg.compute_dtype)
     )
     n_valid = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
     loss_cls = losses.softmax_cross_entropy(cls_logits, labels, valid)

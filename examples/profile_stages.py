@@ -40,7 +40,7 @@ def main():
     print("devices:", jax.devices(), flush=True)
     cfg = PRESETS["e2e_mask_rcnn_R-50-FPN_2x"]
     tcfg = TestConfig()
-    params = init_params(cfg, seed=0)
+    params = jax.device_put(init_params(cfg, seed=0))  # transfer once
     rng = np.random.RandomState(0)
     h, w = 832, 1344
     image = (rng.randn(h, w, 3) * 50).astype(np.float32)

@@ -155,7 +155,7 @@ def test_deconv_matches_torch(rng):
 def test_mlp_box_head_matches_torch(rng):
     p = HD.init_box_head_params("mlp")
     x = rng.randn(5, 7, 7, 256).astype(np.float32)
-    got = np.asarray(HD.mlp_box_head(p, jnp.asarray(x)))
+    got = np.asarray(HD.mlp_box_head(p, jnp.asarray(x), jnp.float32))
     # torch mirror flattens (C,H,W)-major; permute weights like the importer
     w6 = t(p["fc6_w"])  # ours expects HWC-major flatten already
     xt = t(x).reshape(5, -1)
