@@ -57,15 +57,23 @@ def main():
     ows = np.full(b, 800.0, np.float32)
     batch = shard_batch(mesh, images, scales, ohs, ows)
 
+    def run_once():
+        out = fn(params, *batch)
+        # block_until_ready does not reliably synchronise on every backend
+        # (axon); fetching a small result forces real completion
+        np.asarray(out.detections.scores)
+        return out
+
     log(f"compiling (batch={b}, {h}x{w})...")
     t0 = time.time()
-    out = jax.block_until_ready(fn(params, *batch))
+    run_once()
     log(f"compile+first: {time.time()-t0:.1f}s")
 
-    iters = int(os.environ.get("BENCH_ITERS", "4"))
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    run_once()  # warm
     t0 = time.time()
     for _ in range(iters):
-        out = jax.block_until_ready(fn(params, *batch))
+        run_once()
     dt = (time.time() - t0) / iters
     img_per_sec = b / dt
     log(f"steady: {dt*1000:.1f} ms/batch -> {img_per_sec:.2f} img/s on {ndev} device(s)")

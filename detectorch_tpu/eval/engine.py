@@ -104,6 +104,58 @@ class InferenceEngine:
         return result
 
 
+class BatchedInferenceEngine:
+    """Bucket-grouped batched inference: one vmapped program per shape
+    bucket, batch axis optionally sharded over a mesh 'data' axis.
+
+    This is the throughput path (bench.py uses the same construction); the
+    single-image InferenceEngine stays for latency/debug use.
+    """
+
+    def __init__(self, cfg: ModelConfig, test_cfg: TestConfig, params: Dict,
+                 batch_size: int = 4, mesh=None):
+        self.cfg = cfg
+        self.test_cfg = test_cfg
+        self.batch_size = batch_size
+        self.mesh = mesh
+        self.params = params
+        self._compiled = {}
+        self._single = InferenceEngine(cfg, test_cfg, params)
+
+    def _fn(self, shape):
+        if shape not in self._compiled:
+            single = make_inference_fn(self.cfg, self.test_cfg)
+            axes = (None, 0, 0, 0, 0) if self.cfg.use_rpn else (None, 0, 0, 0, 0, 0, 0)
+            self._compiled[shape] = jax.jit(jax.vmap(single, in_axes=axes))
+        return self._compiled[shape]
+
+    def preprocess(self, im_rgb, proposals=None):
+        return self._single.preprocess(im_rgb, proposals)
+
+    def run_batch(self, samples):
+        """samples: list of (args, oh, ow) from preprocess(), all same bucket.
+        Returns list of collected result dicts (same order)."""
+        n = len(samples)
+        b = self.batch_size
+        # pad the tail batch by repeating the last sample
+        padded = samples + [samples[-1]] * (b - n)
+        arg_lists = list(zip(*[s[0][1:] for s in padded]))  # drop params
+        batch = [np.stack([np.asarray(a) for a in arg]) for arg in arg_lists]
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(self.mesh, P("data"))
+            batch = [jax.device_put(a, sh) for a in batch]
+        out = self._fn(tuple(batch[0].shape[1:]))(self.params, *batch)
+        results = []
+        for i in range(n):
+            one = jax.tree.map(lambda x: x[i], out)
+            results.append(
+                self._single._collect(one, samples[i][1], samples[i][2])
+            )
+        return results
+
+
 def evaluate_dataset(
     cfg: ModelConfig,
     test_cfg: TestConfig,
@@ -112,9 +164,10 @@ def evaluate_dataset(
     roidb: Optional[List[RoidbEntry]] = None,
     limit: Optional[int] = None,
     verbose: bool = True,
+    batch_size: int = 1,
+    mesh=None,
 ):
     """Full dataset loop -> (bbox stats, segm stats or None, results dict)."""
-    engine = InferenceEngine(cfg, test_cfg, params)
     if roidb is None:
         roidb = dataset.get_roidb(gt=False)
     if limit:
@@ -122,25 +175,45 @@ def evaluate_dataset(
 
     from detectorch_tpu.data.loader import PrefetchLoader
 
+    engine = InferenceEngine(cfg, test_cfg, params)
+
     def make_sample(entry):
         im = T.load_image_rgb(entry.file_path)
         proposals = entry.boxes if not cfg.use_rpn else None
         args, oh, ow = engine.preprocess(im, proposals)
         return entry, args, oh, ow
 
-    loader = PrefetchLoader(roidb, make_sample, num_workers=4, prefetch=8)
+    loader = PrefetchLoader(roidb, make_sample, num_workers=4, prefetch=16)
 
     bbox_results, segm_results_all = [], []
     t0 = time.time()
-    pending = None  # (entry, device_out, oh, ow) — 1-deep device pipeline
     results_iter = []
-    for i, (entry, args, oh, ow) in enumerate(loader):
-        out = engine.submit(args)
+    if batch_size > 1:
+        batched = BatchedInferenceEngine(cfg, test_cfg, params, batch_size, mesh)
+        buckets: Dict[tuple, list] = {}
+        for entry, args, oh, ow in loader:
+            key = tuple(np.asarray(args[1]).shape)
+            buckets.setdefault(key, []).append((entry, (args, oh, ow)))
+            if len(buckets[key]) == batch_size:
+                group = buckets.pop(key)
+                res = batched.run_batch([g[1] for g in group])
+                results_iter.extend((g[0], r) for g, r in zip(group, res))
+        for group in buckets.values():
+            res = batched.run_batch([g[1] for g in group])
+            results_iter.extend((g[0], r) for g, r in zip(group, res))
+    else:
+        pending = None  # (entry, device_out, oh, ow) — 1-deep device pipeline
+        for i, (entry, args, oh, ow) in enumerate(loader):
+            out = engine.submit(args)
+            if pending is not None:
+                results_iter.append(
+                    (pending[0], engine._collect(pending[1], pending[2], pending[3]))
+                )
+            pending = (entry, out, oh, ow)
         if pending is not None:
-            results_iter.append((pending[0], engine._collect(pending[1], pending[2], pending[3])))
-        pending = (entry, out, oh, ow)
-    if pending is not None:
-        results_iter.append((pending[0], engine._collect(pending[1], pending[2], pending[3])))
+            results_iter.append(
+                (pending[0], engine._collect(pending[1], pending[2], pending[3]))
+            )
 
     for i, (entry, res) in enumerate(results_iter):
         bbox_results.extend(

@@ -74,16 +74,21 @@ def main():
     rng = np.random.RandomState(0)
     image = jax.device_put((rng.randn(H, W, 3) * 50).astype(np.float32))
 
+    def sync(out):
+        # axon: block_until_ready does not truly wait; fetch one element
+        leaf = jax.tree.leaves(out)[0]
+        np.asarray(leaf[(0,) * leaf.ndim])
+
     names = ["backbone+neck", "+rpn/proposals", "+roi_align", "+box head",
              "+postprocess", "+mask (full)"]
     prev = 0.0
     for k, name in enumerate(names, start=1):
         fn = stage_fn(k)
-        jax.block_until_ready(fn(params, image))
+        sync(fn(params, image))
         t0 = time.time()
         iters = 10
         for _ in range(iters):
-            jax.block_until_ready(fn(params, image))
+            sync(fn(params, image))
         t = (time.time() - t0) / iters * 1000
         print(f"upto {name:18s} {t:8.2f} ms  (delta {t - prev:+7.2f})", flush=True)
         prev = t
@@ -91,11 +96,11 @@ def main():
     # raw fc6 matmul floor
     x = jax.device_put(rng.randn(1000, 12544).astype(np.float32))
     w = jax.device_put(rng.randn(1024, 12544).astype(np.float32))
-    mm = jax.jit(lambda a, b: a @ b.T)
-    jax.block_until_ready(mm(x, w))
+    mm = jax.jit(lambda a, b: (a @ b.T))
+    np.asarray(mm(x, w)[0, 0])
     t0 = time.time()
     for _ in range(20):
-        jax.block_until_ready(mm(x, w))
+        np.asarray(mm(x, w)[0, 0])
     print(f"raw fc6 matmul fp32: {(time.time()-t0)/20*1000:.2f} ms", flush=True)
 
 

@@ -51,10 +51,13 @@ def nms_global_fixpoint(boxes, scores, max_out, iou_thresh, valid=None):
 
 
 def bench(name, fn, *args, iters=20):
-    out = jax.block_until_ready(fn(*args))
+    import numpy as _np
+    out = fn(*args)
+    _np.asarray(jax.tree.leaves(out)[0])  # force real completion (axon quirk)
     t0 = time.time()
     for _ in range(iters):
-        out = jax.block_until_ready(fn(*args))
+        out = fn(*args)
+        _np.asarray(jax.tree.leaves(out)[0])
     print(f"{name:40s} {(time.time()-t0)/iters*1000:8.2f} ms", flush=True)
     return out
 

@@ -66,6 +66,27 @@ def test_fast_rcnn_eval_loop(tiny_coco, tmp_path, rng):
     assert bbox_stats is not None and len(bbox_stats) == 12
 
 
+def test_batched_eval_matches_single(tiny_coco, rng):
+    ann, imdir = tiny_coco
+    ds = CocoDataset(ann, imdir)
+    cfg = PRESETS["e2e_faster_rcnn_R-50-FPN_2x"].replace(compute_dtype="float32")
+    cfg = cfg.replace(rpn=cfg.rpn.__class__(pre_nms_top_n=100, post_nms_top_n=20))
+    tcfg = TestConfig(target_size=64, max_size=96, detections_per_img=5,
+                      score_thresh=0.0)
+    params = init_params(cfg, seed=0)
+    s1, _, info1 = evaluate_dataset(cfg, tcfg, params, ds, verbose=False)
+    s2, _, info2 = evaluate_dataset(
+        cfg, tcfg, params, ds, verbose=False, batch_size=2
+    )
+    assert len(info1["bbox"]) == len(info2["bbox"])
+    b1 = sorted(info1["bbox"], key=lambda r: (r["image_id"], -r["score"]))
+    b2 = sorted(info2["bbox"], key=lambda r: (r["image_id"], -r["score"]))
+    for r1, r2 in zip(b1, b2):
+        assert r1["image_id"] == r2["image_id"]
+        assert r1["category_id"] == r2["category_id"]
+        np.testing.assert_allclose(r1["bbox"], r2["bbox"], rtol=1e-4, atol=1e-3)
+
+
 def test_mask_rcnn_eval_loop(tiny_coco, rng):
     ann, imdir = tiny_coco
     ds = CocoDataset(ann, imdir)
