@@ -101,6 +101,9 @@ class ModelConfig:
     spatial_scale: float = 0.0625
     # compute dtype for the conv body (fp32 for bit-parity runs, bf16 for speed)
     compute_dtype: str = "bfloat16"
+    # matmul precision for the C4 separable RoIAlign: 'highest' = exact fp32
+    # (reference-kernel parity), 'high' = bf16_3x, 'bf16' = fastest
+    roi_align_precision: str = "highest"
 
     @property
     def fpn_spatial_scales(self) -> Tuple[float, ...]:

@@ -181,6 +181,7 @@ def make_inference_fn(
             roi_feats = roi_align_matmul(
                 c4[0], rois, cfg.roi_size, cfg.roi_size,
                 cfg.spatial_scale, cfg.roi_sampling_ratio,
+                precision=cfg.roi_align_precision,
             ).astype(jnp.dtype(cfg.compute_dtype))
             box_feats = heads_mod.res5_box_head(params, roi_feats, cfg.arch)
 
@@ -211,6 +212,7 @@ def make_inference_fn(
                 mask_feats = roi_align_matmul(
                     c4[0], mask_rois, msize, msize,
                     cfg.spatial_scale, cfg.roi_sampling_ratio,
+                    precision=cfg.roi_align_precision,
                 )
             mask_feats = mask_feats.astype(jnp.dtype(cfg.compute_dtype))
             mask_probs = heads_mod.mask_head(

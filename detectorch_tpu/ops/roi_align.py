@@ -98,6 +98,13 @@ def _axis_weights_dense(coords, grid, size, max_grid):
     return jnp.sum(hat, axis=2)  # (N, P, size)
 
 
+PRECISIONS = {
+    "bf16": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
 def roi_align_matmul(
     features,
     rois,
@@ -106,10 +113,15 @@ def roi_align_matmul(
     spatial_scale: float,
     sampling_ratio: int = 0,
     max_grid: int = 8,
+    precision: str = "highest",
 ):
     """Separable-matmul RoIAlign on a single feature level.
 
     features: (H, W, C); rois: (N, 4). Returns (N, PH, PW, C) float32.
+
+    precision: 'highest' (fp32, bit-parity with the reference kernel),
+    'high' (bf16_3x, ~1e-6 rel error, ~2-3x faster on MXU), or 'bf16'
+    (~4e-3 rel error, fastest).
     """
     height, width, _ = features.shape
     start_h, start_w, bin_h, bin_w, grid_h, grid_w = _roi_geometry(
@@ -127,7 +139,7 @@ def roi_align_matmul(
     f = features.astype(jnp.float32)
     # fp32 matmuls: on TPU the default matmul precision truncates inputs to
     # bf16, which costs ~1e-3 absolute error vs the reference kernel.
-    hi = jax.lax.Precision.HIGHEST
+    hi = PRECISIONS[precision]
     # (N, PH, H) x (H, W*C) -> (N, PH, W, C): one big MXU matmul.
     tmp = jnp.einsum(
         "nph,hwc->npwc", ky, f, preferred_element_type=jnp.float32, precision=hi

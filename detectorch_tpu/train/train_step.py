@@ -55,6 +55,7 @@ def box_branch_loss(params, cfg: ModelConfig, image, rois, labels,
         roi_feats = roi_align_matmul(
             c4[0], rois, cfg.roi_size, cfg.roi_size,
             cfg.spatial_scale, cfg.roi_sampling_ratio,
+            precision=cfg.roi_align_precision,
         ).astype(jnp.dtype(cfg.compute_dtype))
         box_feats = heads_mod.res5_box_head(params, roi_feats, cfg.arch)
 
