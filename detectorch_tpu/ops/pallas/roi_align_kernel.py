@@ -1,0 +1,190 @@
+"""Pallas TPU kernel for multi-level RoIAlign (FPN path).
+
+TPU-native replacement for the reference's CUDA bilinear kernel
+(``lib/cppcuda/roi_align_forward_cuda.cu:83-212``):
+
+  * the FPN pyramid lives row-concatenated in HBM; per roi the kernel DMAs
+    one fixed (SLAB, SLAB, C) window from the roi's assigned level into
+    VMEM (scalar-prefetched origins), double-buffered against compute;
+  * the PH×PW×S² bilinear bin-average is evaluated as two small MXU matmuls
+    with per-roi separable interpolation matrices (channel-shared weights —
+    the vectorised analogue of the reference CPU kernel's PreCalc,
+    roi_align_cpu.cpp:22-116) built outside the kernel in the same traced
+    program;
+  * caffe2 semantics preserved exactly (clamping, out-of-range zeros, bin
+    averaging) for every roi whose sampling footprint fits the slab.
+
+Footprint bound: FPN level assignment keeps sqrt(roi area) between 14 and
+~42 feature pixels on the assigned level, so square-ish rois always fit a
+64-slab; extreme aspect ratios (e.g. 1333x10 boxes) can exceed it on one
+axis. `multilevel_roi_align_pallas` therefore CLAMPS oversized footprints
+(crop_and_resize-style) and is the opt-in fast path; the exact
+`ops.roi_align.multilevel_roi_align` gather remains the default. `fits_slab`
+reports which rois are exact.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from detectorch_tpu.ops.roi_align import _roi_geometry, _sample_coords
+
+
+def _slab_axis_weights(coords, grid, origin, extent, slab: int, s: int):
+    """Per-axis interpolation weights over the slab window: (N, P, slab).
+
+    coords (N, P, S) absolute level coords; origin (N,) slab start row/col;
+    extent (N,) level size along the axis. Reproduces the caffe2 rules:
+    samples outside [-1, extent] contribute nothing; in-range samples clamp
+    into [0, extent-1]; samples beyond the adaptive grid are masked.
+    """
+    in_range = (coords >= -1.0) & (
+        coords <= extent[:, None, None].astype(jnp.float32)
+    )
+    live = in_range & (
+        jnp.arange(s, dtype=jnp.int32)[None, None, :] < grid[:, None, None]
+    )
+    yc = jnp.clip(
+        coords, 0.0,
+        jnp.maximum(extent[:, None, None].astype(jnp.float32) - 1.0, 0.0),
+    ) - origin[:, None, None].astype(jnp.float32)
+    h = jnp.arange(slab, dtype=jnp.float32)
+    hat = jnp.maximum(0.0, 1.0 - jnp.abs(yc[..., None] - h))
+    hat = jnp.where(live[..., None], hat, 0.0)
+    # columns past the level extent (zero padding region) carry no weight
+    size = jnp.minimum(extent - origin, slab)
+    col_ok = h[None, None, None, :] < size[:, None, None, None].astype(jnp.float32)
+    hat = jnp.where(col_ok, hat, 0.0)
+    return jnp.sum(hat, axis=2)
+
+
+def multilevel_roi_align_pallas(
+    feature_list,
+    rois,
+    levels,
+    level_scales: Sequence[float],
+    pooled_h: int,
+    pooled_w: int,
+    sampling_ratio: int = 2,
+    slab: int = 64,
+    interpret: bool = False,
+):
+    """Pallas multi-level RoIAlign. Returns (out (N, PH, PW, C) fp32,
+    fits (N,) bool — True where the result is bit-exact caffe2 RoIAlign)."""
+    assert sampling_ratio > 0, "adaptive sampling uses the C4 matmul path"
+    n = rois.shape[0]
+    channels = feature_list[0].shape[-1]
+    dtype = feature_list[0].dtype
+    shapes_np = np.asarray([f.shape[:2] for f in feature_list], np.int32)
+    max_w = int(shapes_np[:, 1].max())
+
+    # level-stacked atlas padded to a common width + slab guard bands; each
+    # level's row count rounds up to 8 so every slab row origin stays
+    # tile-aligned (Mosaic DMA offset constraint)
+    row_counts = [(int(h) + 7) // 8 * 8 for h in shapes_np[:, 0]]
+    padded = [
+        jnp.pad(
+            f,
+            ((0, rc - f.shape[0]), (0, max_w - f.shape[1]), (0, 0)),
+        )
+        for f, rc in zip(feature_list, row_counts)
+    ]
+    atlas = jnp.concatenate(padded, axis=0)
+    atlas = jnp.pad(atlas, ((0, slab), (0, slab), (0, 0)))
+    row_offsets = np.concatenate([[0], np.cumsum(row_counts)]).astype(np.int32)
+
+    scales = jnp.asarray(np.asarray(level_scales, np.float32))
+    shapes = jnp.asarray(shapes_np)
+    roi_scale = scales[levels]
+    lvl_h = shapes[levels, 0]
+    lvl_w = shapes[levels, 1]
+    lvl_row0 = jnp.asarray(row_offsets[:-1])[levels]
+
+    s = sampling_ratio
+    start_h, start_w, bin_h, bin_w, grid_h, grid_w = _roi_geometry(
+        rois, roi_scale, pooled_h, pooled_w, s, s
+    )
+    ys = _sample_coords(start_h, bin_h, grid_h, pooled_h, s)
+    xs = _sample_coords(start_w, bin_w, grid_w, pooled_w, s)
+
+    # slab origin = floor of the smallest clamped sample coordinate,
+    # quantised DOWN to the TPU tile granularity (Mosaic requires DMA slice
+    # offsets divisible by the (8, 128) tiling on the tiled dims)
+    y_min = jnp.clip(jnp.floor(ys[:, 0, 0]), 0.0, jnp.maximum(lvl_h - 1, 0).astype(jnp.float32))
+    x_min = jnp.clip(jnp.floor(xs[:, 0, 0]), 0.0, jnp.maximum(lvl_w - 1, 0).astype(jnp.float32))
+    y0 = (y_min.astype(jnp.int32) // 8) * 8
+    x0 = (x_min.astype(jnp.int32) // 8) * 8
+
+    # exactness indicator: the last sample's high neighbour must fall inside
+    y_last = jnp.clip(ys[:, -1, -1], 0.0, (lvl_h - 1).astype(jnp.float32))
+    x_last = jnp.clip(xs[:, -1, -1], 0.0, (lvl_w - 1).astype(jnp.float32))
+    fits = (
+        (jnp.floor(y_last).astype(jnp.int32) + 1 - y0 < slab)
+        & (jnp.floor(x_last).astype(jnp.int32) + 1 - x0 < slab)
+    )
+
+    ky = _slab_axis_weights(ys, grid_h, y0, lvl_h, slab, s)
+    kx = _slab_axis_weights(xs, grid_w, x0, lvl_w, slab, s)
+    inv_count = 1.0 / (grid_h * grid_w).astype(jnp.float32)
+    ky = (ky * inv_count[:, None, None]).astype(jnp.float32)
+    kx = kx.astype(jnp.float32)
+
+    slab_row = (lvl_row0 + y0).astype(jnp.int32)
+    slab_col = x0.astype(jnp.int32)
+
+    def kernel(sr_ref, sc_ref, ky_ref, kx_ref, atlas_ref, out_ref, vmem, sem):
+        i = pl.program_id(0)
+        row = pl.multiple_of(sr_ref[i], 8)
+        col = pl.multiple_of(sc_ref[i], 8)
+        dma = pltpu.make_async_copy(
+            atlas_ref.at[pl.ds(row, slab), pl.ds(col, slab), :], vmem, sem
+        )
+        dma.start()
+        dma.wait()
+        slab_v = vmem[...].astype(jnp.float32)
+        kyv = ky_ref[0]
+        kxv = kx_ref[0]
+        tmp = jnp.dot(
+            kyv, slab_v.reshape(slab, slab * channels),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(pooled_h, slab, channels)
+        out = jax.lax.dot_general(
+            kxv, tmp,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (PW, PH, C)
+        out_ref[0] = jnp.transpose(out, (1, 0, 2))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, pooled_h, slab), lambda i, sr, sc: (i, 0, 0)),
+            pl.BlockSpec((1, pooled_w, slab), lambda i, sr, sc: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # atlas stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (1, pooled_h, pooled_w, channels), lambda i, sr, sc: (i, 0, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((slab, slab, channels), dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n, pooled_h, pooled_w, channels), jnp.float32
+        ),
+        interpret=interpret,
+    )(slab_row, slab_col, ky, kx, atlas)
+    return out, fits

@@ -1,0 +1,75 @@
+"""Pallas RoIAlign kernel vs the jnp reference (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+from detectorch_tpu.ops.pallas.roi_align_kernel import multilevel_roi_align_pallas
+from detectorch_tpu.ops.roi_align import multilevel_roi_align
+
+
+def make_levels(rng, shapes=((32, 48), (16, 24), (8, 12)), c=8):
+    return [rng.randn(h, w, c).astype(np.float32) for h, w in shapes]
+
+
+def test_pallas_matches_reference(rng):
+    feats = make_levels(rng)
+    scales = (0.25, 0.125, 0.0625)
+    # square-ish rois that fit the slab on their level
+    rois = np.array(
+        [
+            [10, 10, 60, 70],
+            [4, 8, 100, 90],
+            [0, 0, 180, 120],
+            [40, 16, 52, 30],
+        ],
+        np.float32,
+    )
+    levels = np.array([0, 1, 2, 0], np.int32)
+    got, fits = multilevel_roi_align_pallas(
+        feats, rois, levels, scales, 7, 7, sampling_ratio=2,
+        slab=32, interpret=True,
+    )
+    assert np.asarray(fits).all()
+    exp = multilevel_roi_align(feats, rois, levels, scales, 7, 7, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp), rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_mask_resolution(rng):
+    feats = make_levels(rng)
+    scales = (0.25, 0.125, 0.0625)
+    rois = np.array([[8, 8, 90, 100], [30, 20, 110, 95]], np.float32)
+    levels = np.array([1, 1], np.int32)
+    got, fits = multilevel_roi_align_pallas(
+        feats, rois, levels, scales, 14, 14, sampling_ratio=2,
+        slab=32, interpret=True,
+    )
+    assert np.asarray(fits).all()
+    exp = multilevel_roi_align(feats, rois, levels, scales, 14, 14, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp), rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_roi_partially_outside(rng):
+    feats = make_levels(rng)
+    scales = (0.25, 0.125, 0.0625)
+    rois = np.array([[-20, -20, 60, 50]], np.float32)  # crosses the top-left
+    levels = np.array([0], np.int32)
+    got, fits = multilevel_roi_align_pallas(
+        feats, rois, levels, scales, 7, 7, sampling_ratio=2,
+        slab=32, interpret=True,
+    )
+    assert np.asarray(fits).all()
+    exp = multilevel_roi_align(feats, rois, levels, scales, 7, 7, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp), rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_reports_oversized_footprint(rng):
+    feats = make_levels(rng)
+    scales = (0.25, 0.125, 0.0625)
+    # extreme aspect ratio: 360px wide at level 0 -> 90 feature px > slab 32
+    rois = np.array([[0, 0, 360, 12]], np.float32)
+    levels = np.array([0], np.int32)
+    _, fits = multilevel_roi_align_pallas(
+        feats, rois, levels, scales, 7, 7, sampling_ratio=2,
+        slab=32, interpret=True,
+    )
+    assert not np.asarray(fits).any()
