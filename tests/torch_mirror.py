@@ -1,0 +1,156 @@
+"""A torch+numpy mirror of the reference pipeline, built from this repo's
+param dicts — used as the full-stack parity oracle (the closest available
+proxy to running the actual reference, which needs torchvision+CUDA)."""
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from detectorch_tpu.models.resnet import STAGE_BLOCKS
+from tests.oracles import np_bbox_transform, np_nms, np_roi_align
+from tests.test_rpn import np_generate_proposals
+
+
+def t(x):
+    return torch.from_numpy(np.asarray(x))
+
+
+def conv_bn(params, x, name, stride=1, pad=0):
+    w = t(params[f"{name}_w"]).permute(3, 2, 0, 1)
+    x = F.conv2d(x, w, stride=stride, padding=pad)
+    s = t(params[f"{name}_bn_s"]).view(1, -1, 1, 1)
+    b = t(params[f"{name}_bn_b"]).view(1, -1, 1, 1)
+    return x * s + b
+
+
+def bottleneck(params, x, prefix, stride, has_proj):
+    shortcut = x
+    if has_proj:
+        shortcut = conv_bn(params, x, f"{prefix}_branch1", stride=stride)
+    out = F.relu(conv_bn(params, x, f"{prefix}_branch2a", stride=stride))
+    out = F.relu(conv_bn(params, out, f"{prefix}_branch2b", stride=1, pad=1))
+    out = conv_bn(params, out, f"{prefix}_branch2c")
+    return F.relu(out + shortcut)
+
+
+def stage(params, x, name, n_blocks, stride):
+    for i in range(n_blocks):
+        x = bottleneck(params, x, f"{name}_{i}",
+                       stride if i == 0 else 1, i == 0)
+    return x
+
+
+def stem(params, x):
+    w = t(params["conv1_w"]).permute(3, 2, 0, 1)
+    x = F.conv2d(x, w, stride=2, padding=3)
+    s = t(params["res_conv1_bn_s"]).view(1, -1, 1, 1)
+    b = t(params["res_conv1_bn_b"]).view(1, -1, 1, 1)
+    x = F.relu(x * s + b)
+    return F.max_pool2d(x, 3, stride=2, padding=1)
+
+
+def c4_body(params, image_hwc, arch="resnet50"):
+    blocks = STAGE_BLOCKS[arch]
+    x = t(image_hwc).permute(2, 0, 1)[None]
+    x = stem(params, x)
+    x = stage(params, x, "res2", blocks[0], 1)
+    x = stage(params, x, "res3", blocks[1], 2)
+    x = stage(params, x, "res4", blocks[2], 2)
+    return x  # NCHW
+
+
+def rpn_head(params, feats_nchw, prefix=""):
+    w = t(params[f"conv_rpn{prefix}_w"]).permute(3, 2, 0, 1)
+    h = F.relu(F.conv2d(feats_nchw, w, bias=t(params[f"conv_rpn{prefix}_b"]), padding=1))
+    wc = t(params[f"rpn_cls_logits{prefix}_w"]).permute(3, 2, 0, 1)
+    cls = torch.sigmoid(F.conv2d(h, wc, bias=t(params[f"rpn_cls_logits{prefix}_b"])))
+    wb = t(params[f"rpn_bbox_pred{prefix}_w"]).permute(3, 2, 0, 1)
+    bbox = F.conv2d(h, wb, bias=t(params[f"rpn_bbox_pred{prefix}_b"]))
+    return cls, bbox
+
+
+def res5_head(params, roi_feats_nchw, arch="resnet50"):
+    x = stage(params, torch.from_numpy(roi_feats_nchw).float(), "res5",
+              STAGE_BLOCKS[arch][3], 2)
+    return x.mean(dim=(2, 3))  # (N, 2048)
+
+
+def box_outputs(params, feats):
+    cls = F.linear(feats, t(params["cls_score_w"]), t(params["cls_score_b"]))
+    cls = F.softmax(cls, dim=1)
+    bbox = F.linear(feats, t(params["bbox_pred_w"]), t(params["bbox_pred_b"]))
+    return cls.numpy(), bbox.numpy()
+
+
+def multilevel_body(params, image_hwc, arch="resnet50"):
+    blocks = STAGE_BLOCKS[arch]
+    x = t(image_hwc).permute(2, 0, 1)[None]
+    x = stem(params, x)
+    c2 = stage(params, x, "res2", blocks[0], 1)
+    c3 = stage(params, c2, "res3", blocks[1], 2)
+    c4 = stage(params, c3, "res4", blocks[2], 2)
+    c5 = stage(params, c4, "res5", blocks[3], 2)
+    return [c2, c3, c4, c5]
+
+
+def fpn_neck(params, cs, arch="resnet50"):
+    """reference fpn_body.forward (detector.py:35-52) in torch."""
+    names = {
+        "resnet50": ["res2_2", "res3_3", "res4_5", "res5_2"],
+        "resnet101": ["res2_2", "res3_3", "res4_22", "res5_2"],
+    }[arch]
+    lat = []
+    for i, c in enumerate(cs):
+        suffix = "_sum" if i == 3 else "_sum_lateral"
+        w = t(params[f"fpn_inner_{names[i]}{suffix}_w"]).permute(3, 2, 0, 1)
+        lat.append(F.conv2d(c, w, bias=t(params[f"fpn_inner_{names[i]}{suffix}_b"])))
+    for i in range(2, -1, -1):
+        lat[i] = lat[i] + F.interpolate(lat[i + 1], scale_factor=2, mode="nearest")
+    outs = []
+    for i in range(4):
+        w = t(params[f"fpn_{names[i]}_sum_w"]).permute(3, 2, 0, 1)
+        outs.append(F.conv2d(lat[i], w, bias=t(params[f"fpn_{names[i]}_sum_b"]), padding=1))
+    return outs  # P2..P5
+
+
+def mlp_head(params, roi_feats_nchw):
+    """fc6/fc7 on (N, 256, 7, 7) — NOTE: our fc6 weights are (H, W, C)-major,
+    so permute the torch NCHW features to NHWC before flattening."""
+    x = torch.from_numpy(roi_feats_nchw).float().permute(0, 2, 3, 1).reshape(
+        roi_feats_nchw.shape[0], -1
+    )
+    x = F.relu(F.linear(x, t(params["fc6_w"]), t(params["fc6_b"])))
+    x = F.relu(F.linear(x, t(params["fc7_w"]), t(params["fc7_b"])))
+    return x
+
+
+def np_map_levels(rois, k_min=2, k_max=5):
+    w = rois[:, 2] - rois[:, 0] + 1
+    h = rois[:, 3] - rois[:, 1] + 1
+    s = np.sqrt(w * h)
+    lv = np.floor(4 + np.log2(s / 224.0 + 1e-6))
+    return np.clip(lv, k_min, k_max).astype(np.int32)
+
+
+def postprocess(scores, boxes_decoded, num_classes=81, score_thresh=0.05,
+                nms_thresh=0.5, max_det=100):
+    """reference result_utils.box_results_with_nms_and_limit."""
+    cls_boxes = [np.zeros((0, 5), np.float32) for _ in range(num_classes)]
+    for j in range(1, num_classes):
+        inds = np.where(scores[:, j] > score_thresh)[0]
+        dets = np.hstack(
+            [boxes_decoded[inds, j * 4:(j + 1) * 4], scores[inds, j, None]]
+        ).astype(np.float32)
+        keep = np_nms(dets, nms_thresh)
+        cls_boxes[j] = dets[keep]
+    all_scores = np.hstack([cls_boxes[j][:, 4] for j in range(1, num_classes)])
+    if len(all_scores) > max_det:
+        thresh = np.sort(all_scores)[-max_det]
+        for j in range(1, num_classes):
+            cls_boxes[j] = cls_boxes[j][cls_boxes[j][:, 4] >= thresh]
+    out = []
+    for j in range(1, num_classes):
+        for row in cls_boxes[j]:
+            out.append((j, row[4], row[:4]))
+    out.sort(key=lambda r: -r[1])
+    return out[:max_det]
