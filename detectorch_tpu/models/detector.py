@@ -35,6 +35,7 @@ from detectorch_tpu.ops.roi_align import (
     multilevel_roi_align,
     roi_align_matmul,
 )
+from detectorch_tpu.ops.pallas.roi_align_kernel import multilevel_roi_align_pallas
 
 
 class ModelOutputs(NamedTuple):
@@ -170,10 +171,16 @@ def make_inference_fn(
                 cfg.fpn.roi_canonical_scale, cfg.fpn.roi_canonical_level,
             ) - cfg.fpn.roi_min_level
             level_feats = [p[0] for p in pyramid]
-            roi_feats = multilevel_roi_align(
-                level_feats, rois, roi_levels, cfg.fpn_spatial_scales,
-                cfg.roi_size, cfg.roi_size, cfg.roi_sampling_ratio,
-            )
+            if cfg.use_pallas_roi_align:
+                roi_feats, _ = multilevel_roi_align_pallas(
+                    level_feats, rois, roi_levels, cfg.fpn_spatial_scales,
+                    cfg.roi_size, cfg.roi_size, cfg.roi_sampling_ratio,
+                )
+            else:
+                roi_feats = multilevel_roi_align(
+                    level_feats, rois, roi_levels, cfg.fpn_spatial_scales,
+                    cfg.roi_size, cfg.roi_size, cfg.roi_sampling_ratio,
+                )
             box_feats = heads_mod.mlp_box_head(
                 params, roi_feats, jnp.dtype(cfg.compute_dtype)
             )
@@ -204,10 +211,18 @@ def make_inference_fn(
                     mask_rois, cfg.fpn.roi_min_level, cfg.fpn.roi_max_level,
                     cfg.fpn.roi_canonical_scale, cfg.fpn.roi_canonical_level,
                 ) - cfg.fpn.roi_min_level
-                mask_feats = multilevel_roi_align(
-                    level_feats, mask_rois, mask_levels, cfg.fpn_spatial_scales,
-                    msize, msize, cfg.roi_sampling_ratio,
-                )
+                if cfg.use_pallas_roi_align:
+                    mask_feats, _ = multilevel_roi_align_pallas(
+                        level_feats, mask_rois, mask_levels,
+                        cfg.fpn_spatial_scales, msize, msize,
+                        cfg.roi_sampling_ratio,
+                    )
+                else:
+                    mask_feats = multilevel_roi_align(
+                        level_feats, mask_rois, mask_levels,
+                        cfg.fpn_spatial_scales, msize, msize,
+                        cfg.roi_sampling_ratio,
+                    )
             else:
                 mask_feats = roi_align_matmul(
                     c4[0], mask_rois, msize, msize,

@@ -209,9 +209,10 @@ def soft_nms(
             weight = jnp.where(ious > overlap_thresh, 1.0 - ious, 1.0)
         elif method == "gaussian":
             weight = jnp.exp(-(ious * ious) / sigma)
-        else:  # hard == classic NMS decay
-            weight = jnp.where(ious >= overlap_thresh, 0.0, 1.0)
-        decayed = live * weight
+        else:  # hard == classic NMS decay (note: pyx:180 uses >, not >=)
+            weight = jnp.where(ious > overlap_thresh, 0.0, 1.0)
+        # keep dead entries at -inf (avoid -inf * 0 = nan)
+        decayed = jnp.where(live > NEG_INF, live * weight, NEG_INF)
         decayed = jnp.where(decayed < score_thresh, NEG_INF, decayed)
         live = jnp.where(best_ok, decayed, live)
         live = live.at[best].set(NEG_INF)

@@ -73,10 +73,14 @@ def multilevel_roi_align_pallas(
     pooled_w: int,
     sampling_ratio: int = 2,
     slab: int = 64,
-    interpret: bool = False,
+    interpret=None,
 ):
     """Pallas multi-level RoIAlign. Returns (out (N, PH, PW, C) fp32,
-    fits (N,) bool — True where the result is bit-exact caffe2 RoIAlign)."""
+    fits (N,) bool — True where the result is bit-exact caffe2 RoIAlign).
+
+    interpret=None auto-selects interpreter mode off-TPU (CPU tests)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     assert sampling_ratio > 0, "adaptive sampling uses the C4 matmul path"
     n = rois.shape[0]
     channels = feature_list[0].shape[-1]

@@ -134,6 +134,44 @@ def np_map_rois_to_fpn_levels(rois, k_min, k_max):
     return np.clip(target, k_min, k_max).astype(np.int32)
 
 
+def np_soft_nms(dets, sigma=0.5, Nt=0.3, threshold=0.001, method=1):
+    """reference lib/utils_cython/cython_nms.pyx:98-202, transcribed."""
+    boxes = dets.copy().astype(np.float64)
+    n = boxes.shape[0]
+    inds = np.arange(n)
+    i = 0
+    while i < n:
+        maxpos = i + np.argmax(boxes[i:n, 4])
+        boxes[[i, maxpos]] = boxes[[maxpos, i]]
+        inds[[i, maxpos]] = inds[[maxpos, i]]
+        tx1, ty1, tx2, ty2 = boxes[i, :4]
+        pos = i + 1
+        while pos < n:
+            x1, y1, x2, y2, s = boxes[pos]
+            area = (x2 - x1 + 1) * (y2 - y1 + 1)
+            iw = min(tx2, x2) - max(tx1, x1) + 1
+            if iw > 0:
+                ih = min(ty2, y2) - max(ty1, y1) + 1
+                if ih > 0:
+                    ua = (tx2 - tx1 + 1) * (ty2 - ty1 + 1) + area - iw * ih
+                    ov = iw * ih / ua
+                    if method == 1:
+                        weight = 1 - ov if ov > Nt else 1.0
+                    elif method == 2:
+                        weight = np.exp(-(ov * ov) / sigma)
+                    else:
+                        weight = 0.0 if ov > Nt else 1.0
+                    boxes[pos, 4] *= weight
+                    if boxes[pos, 4] < threshold:
+                        boxes[pos] = boxes[n - 1]
+                        inds[pos] = inds[n - 1]
+                        n -= 1
+                        pos -= 1
+            pos += 1
+        i += 1
+    return boxes[:n], inds[:n]
+
+
 # The matlab anchor table from reference lib/utils/generate_anchors.py:26-51
 MATLAB_ANCHORS = np.array(
     [

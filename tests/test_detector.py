@@ -71,6 +71,27 @@ def test_preset_end_to_end(name, rng):
         assert np.isfinite(mm).all() and mm.min() >= 0.0 and mm.max() <= 1.0
 
 
+def test_pallas_roi_align_path_matches_gather(rng):
+    base = small_cfg("e2e_mask_rcnn_R-50-FPN_2x")
+    params = init_params(base, seed=0)
+    image = rng.randn(96, 128, 3).astype(np.float32) * 10
+    args = (image, jnp.float32(1.0), jnp.float32(96.0), jnp.float32(128.0))
+    a = jax.jit(make_inference_fn(base, TEST_CFG))(params, *args)
+    cfg_p = base.replace(use_pallas_roi_align=True)
+    b = jax.jit(make_inference_fn(cfg_p, TEST_CFG))(params, *args)
+    # random test rois are square-ish: pallas path must agree with gather
+    np.testing.assert_allclose(
+        np.asarray(a.cls_scores), np.asarray(b.cls_scores), rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.detections.boxes), np.asarray(b.detections.boxes),
+        rtol=1e-3, atol=0.1,
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.masks), np.asarray(b.masks), rtol=1e-2, atol=1e-3
+    )
+
+
 def test_detector_deterministic(rng):
     cfg = small_cfg("e2e_faster_rcnn_R-50-FPN_2x")
     params = init_params(cfg, seed=0)

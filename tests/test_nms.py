@@ -120,6 +120,31 @@ def test_nms_jits(rng):
     assert idx.shape == (32,)
 
 
+def test_soft_nms_matches_cython_oracle(rng):
+    from tests.oracles import np_soft_nms
+
+    for method_name, method_id in [("linear", 1), ("gaussian", 2), ("hard", 0)]:
+        boxes = random_boxes(rng, 60, size=150.0)
+        scores = rng.uniform(0.1, 1.0, 60).astype(np.float32)
+        dets = np.hstack([boxes, scores[:, None]]).astype(np.float32)
+        exp_boxes, exp_inds = np_soft_nms(
+            dets, sigma=0.5, Nt=0.3, threshold=0.01, method=method_id
+        )
+        idx, sc, ok = N.soft_nms(
+            boxes, scores, max_out=60, sigma=0.5, overlap_thresh=0.3,
+            score_thresh=0.01, method=method_name,
+        )
+        okm = np.asarray(ok)
+        got_inds = np.asarray(idx)[okm]
+        got_scores = np.asarray(sc)[okm]
+        # oracle output is in pick order too (swap-to-front loop)
+        np.testing.assert_array_equal(got_inds, exp_inds, err_msg=method_name)
+        np.testing.assert_allclose(
+            got_scores, exp_boxes[:, 4], rtol=1e-4, atol=1e-5,
+            err_msg=method_name,
+        )
+
+
 def test_soft_nms_linear_decays_scores():
     boxes = np.array(
         [[0, 0, 9, 9], [1, 1, 10, 10], [50, 50, 60, 60]], np.float32
