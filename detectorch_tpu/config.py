@@ -104,10 +104,10 @@ class ModelConfig:
     # matmul precision for the C4 separable RoIAlign: 'highest' = exact fp32
     # (reference-kernel parity), 'high' = bf16_3x, 'bf16' = fastest
     roi_align_precision: str = "highest"
-    # use the Pallas DMA+MXU kernel for FPN RoIAlign (exact for all rois
-    # whose footprint fits the 64-slab — guaranteed for square-ish rois by
-    # FPN level assignment; extreme-aspect rois get crop-clamped sampling)
-    use_pallas_roi_align: bool = False
+    # use the Pallas DMA+MXU kernel for FPN RoIAlign (with an exact gather
+    # fallback that only executes when a roi's footprint overflows the slab;
+    # see models/detector._fpn_roi_align) — ~2x end-to-end throughput
+    use_pallas_roi_align: bool = True
 
     @property
     def fpn_spatial_scales(self) -> Tuple[float, ...]:

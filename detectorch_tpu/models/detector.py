@@ -38,6 +38,33 @@ from detectorch_tpu.ops.roi_align import (
 from detectorch_tpu.ops.pallas.roi_align_kernel import multilevel_roi_align_pallas
 
 
+def _fpn_roi_align(cfg: ModelConfig, level_feats, rois, levels, size: int):
+    """FPN RoIAlign: Pallas DMA+MXU kernel with an exactness-preserving
+    fallback — if any roi's footprint overflows the kernel's slab (extreme
+    aspect ratios only), a lax.cond runs the exact gather and blends per
+    roi. In the common case the gather branch never executes."""
+    if not cfg.use_pallas_roi_align:
+        return multilevel_roi_align(
+            level_feats, rois, levels, cfg.fpn_spatial_scales,
+            size, size, cfg.roi_sampling_ratio,
+        )
+    fast, fits = multilevel_roi_align_pallas(
+        level_feats, rois, levels, cfg.fpn_spatial_scales,
+        size, size, cfg.roi_sampling_ratio,
+    )
+
+    def exact_fallback(_):
+        g = multilevel_roi_align(
+            level_feats, rois, levels, cfg.fpn_spatial_scales,
+            size, size, cfg.roi_sampling_ratio,
+        )
+        return jnp.where(fits[:, None, None, None], fast, g)
+
+    return jax.lax.cond(
+        jnp.all(fits), lambda _: fast, exact_fallback, operand=None
+    )
+
+
 class ModelOutputs(NamedTuple):
     detections: Detections          # (K,) padded final detections
     masks: Optional[jax.Array]      # (K, M, M) class-gathered probs, or None
@@ -171,16 +198,7 @@ def make_inference_fn(
                 cfg.fpn.roi_canonical_scale, cfg.fpn.roi_canonical_level,
             ) - cfg.fpn.roi_min_level
             level_feats = [p[0] for p in pyramid]
-            if cfg.use_pallas_roi_align:
-                roi_feats, _ = multilevel_roi_align_pallas(
-                    level_feats, rois, roi_levels, cfg.fpn_spatial_scales,
-                    cfg.roi_size, cfg.roi_size, cfg.roi_sampling_ratio,
-                )
-            else:
-                roi_feats = multilevel_roi_align(
-                    level_feats, rois, roi_levels, cfg.fpn_spatial_scales,
-                    cfg.roi_size, cfg.roi_size, cfg.roi_sampling_ratio,
-                )
+            roi_feats = _fpn_roi_align(cfg, level_feats, rois, roi_levels, cfg.roi_size)
             box_feats = heads_mod.mlp_box_head(
                 params, roi_feats, jnp.dtype(cfg.compute_dtype)
             )
@@ -211,18 +229,9 @@ def make_inference_fn(
                     mask_rois, cfg.fpn.roi_min_level, cfg.fpn.roi_max_level,
                     cfg.fpn.roi_canonical_scale, cfg.fpn.roi_canonical_level,
                 ) - cfg.fpn.roi_min_level
-                if cfg.use_pallas_roi_align:
-                    mask_feats, _ = multilevel_roi_align_pallas(
-                        level_feats, mask_rois, mask_levels,
-                        cfg.fpn_spatial_scales, msize, msize,
-                        cfg.roi_sampling_ratio,
-                    )
-                else:
-                    mask_feats = multilevel_roi_align(
-                        level_feats, mask_rois, mask_levels,
-                        cfg.fpn_spatial_scales, msize, msize,
-                        cfg.roi_sampling_ratio,
-                    )
+                mask_feats = _fpn_roi_align(
+                    cfg, level_feats, mask_rois, mask_levels, msize
+                )
             else:
                 mask_feats = roi_align_matmul(
                     c4[0], mask_rois, msize, msize,

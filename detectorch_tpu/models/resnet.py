@@ -58,9 +58,11 @@ def conv_bn(params: Params, x, name: str, stride: int = 1, pad: int = 0):
 
 def max_pool_3x3s2(x):
     """torch MaxPool2d(3, stride=2, padding=1) with explicit padding."""
+    # NOTE: init must be -inf (representable in bf16 too) — a finite init
+    # defeats XLA's reduce-window-max autodiff pattern
     return jax.lax.reduce_window(
         x,
-        -jnp.inf if x.dtype == jnp.float32 else jnp.finfo(x.dtype).min,
+        -jnp.inf,
         jax.lax.max,
         window_dimensions=(1, 3, 3, 1),
         window_strides=(1, 2, 2, 1),
