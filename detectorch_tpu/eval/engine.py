@@ -82,10 +82,27 @@ class InferenceEngine:
         image = args[1]
         return self._fn(image.shape)(*args)
 
+    def _exact_fn(self, shape):
+        """Program variant with the exact-gather RoIAlign (used to re-run the
+        rare images whose rois overflow the Pallas kernel's slab)."""
+        key = ("exact", shape)
+        if key not in self._compiled:
+            exact_cfg = self.cfg.replace(use_pallas_roi_align=False)
+            self._compiled[key] = jax.jit(make_inference_fn(exact_cfg, self.test_cfg))
+        return self._compiled[key]
+
+    def finalize(self, out, args, oh, ow):
+        """Exactness check + collect: if the fast program flagged a Pallas
+        slab overflow, re-run this image through the exact variant."""
+        if self.cfg.use_fpn and self.cfg.use_pallas_roi_align:
+            if not bool(np.asarray(out.roi_align_exact)):
+                out = self._exact_fn(args[1].shape)(*args)
+        return self._collect(out, oh, ow)
+
     def run_image(self, im_rgb: np.ndarray, proposals: Optional[np.ndarray] = None):
         """Single image -> host-side dict of final detections (+ mask rles)."""
         args, oh, ow = self.preprocess(im_rgb, proposals)
-        return self._collect(self.submit(args), oh, ow)
+        return self.finalize(self.submit(args), args, oh, ow)
 
     def _collect(self, out, oh, ow):
         dets = out.detections
@@ -150,8 +167,10 @@ class BatchedInferenceEngine:
         results = []
         for i in range(n):
             one = jax.tree.map(lambda x: x[i], out)
+            # exactness check: re-run flagged images through the exact
+            # single-image program (rare — extreme-aspect rois only)
             results.append(
-                self._single._collect(one, samples[i][1], samples[i][2])
+                self._single.finalize(one, samples[i][0], samples[i][1], samples[i][2])
             )
         return results
 
@@ -202,18 +221,16 @@ def evaluate_dataset(
             res = batched.run_batch([g[1] for g in group])
             results_iter.extend((g[0], r) for g, r in zip(group, res))
     else:
-        pending = None  # (entry, device_out, oh, ow) — 1-deep device pipeline
+        pending = None  # (entry, device_out, args, oh, ow) — 1-deep pipeline
         for i, (entry, args, oh, ow) in enumerate(loader):
             out = engine.submit(args)
             if pending is not None:
                 results_iter.append(
-                    (pending[0], engine._collect(pending[1], pending[2], pending[3]))
+                    (pending[0], engine.finalize(*pending[1:]))
                 )
-            pending = (entry, out, oh, ow)
+            pending = (entry, out, args, oh, ow)
         if pending is not None:
-            results_iter.append(
-                (pending[0], engine._collect(pending[1], pending[2], pending[3]))
-            )
+            results_iter.append((pending[0], engine.finalize(*pending[1:])))
 
     for i, (entry, res) in enumerate(results_iter):
         bbox_results.extend(

@@ -39,30 +39,28 @@ from detectorch_tpu.ops.pallas.roi_align_kernel import multilevel_roi_align_pall
 
 
 def _fpn_roi_align(cfg: ModelConfig, level_feats, rois, levels, size: int):
-    """FPN RoIAlign: Pallas DMA+MXU kernel with an exactness-preserving
-    fallback — if any roi's footprint overflows the kernel's slab (extreme
-    aspect ratios only), a lax.cond runs the exact gather and blends per
-    roi. In the common case the gather branch never executes."""
+    """FPN RoIAlign: Pallas DMA+MXU kernel (fast path) or exact gather.
+
+    Returns (feats, all_exact). The Pallas kernel is exact for every roi
+    whose sampling footprint fits its slab — which FPN level assignment
+    guarantees for all but extreme-aspect boxes. Rather than paying a
+    dual-execution fallback inside the program (lax.cond dualises under
+    vmap), the program reports `all_exact`; the inference engine re-runs
+    the rare flagged image through the exact-gather variant
+    (eval/engine.py), so results are exact end-to-end and the fast path
+    stays pure.
+    """
     if not cfg.use_pallas_roi_align:
-        return multilevel_roi_align(
+        out = multilevel_roi_align(
             level_feats, rois, levels, cfg.fpn_spatial_scales,
             size, size, cfg.roi_sampling_ratio,
         )
+        return out, jnp.bool_(True)
     fast, fits = multilevel_roi_align_pallas(
         level_feats, rois, levels, cfg.fpn_spatial_scales,
         size, size, cfg.roi_sampling_ratio,
     )
-
-    def exact_fallback(_):
-        g = multilevel_roi_align(
-            level_feats, rois, levels, cfg.fpn_spatial_scales,
-            size, size, cfg.roi_sampling_ratio,
-        )
-        return jnp.where(fits[:, None, None, None], fast, g)
-
-    return jax.lax.cond(
-        jnp.all(fits), lambda _: fast, exact_fallback, operand=None
-    )
+    return fast, jnp.all(fits)
 
 
 class ModelOutputs(NamedTuple):
@@ -72,6 +70,8 @@ class ModelOutputs(NamedTuple):
     roi_valid: jax.Array            # (N,) bool
     cls_scores: jax.Array           # (N, C)
     bbox_deltas: jax.Array          # (N, 4C)
+    roi_align_exact: jax.Array = True  # () bool: False if any roi overflowed
+                                       # the Pallas slab (engine re-runs exact)
 
 
 def _fpn_level_proposals(params, cfg: ModelConfig, pyramid, im_h, im_w, im_scale):
@@ -192,13 +192,17 @@ def make_inference_fn(
             )
 
         # --- box branch ---------------------------------------------------
+        align_exact = jnp.bool_(True)
         if cfg.use_fpn:
             roi_levels = map_rois_to_fpn_levels(
                 rois, cfg.fpn.roi_min_level, cfg.fpn.roi_max_level,
                 cfg.fpn.roi_canonical_scale, cfg.fpn.roi_canonical_level,
             ) - cfg.fpn.roi_min_level
             level_feats = [p[0] for p in pyramid]
-            roi_feats = _fpn_roi_align(cfg, level_feats, rois, roi_levels, cfg.roi_size)
+            roi_feats, box_exact = _fpn_roi_align(
+                cfg, level_feats, rois, roi_levels, cfg.roi_size
+            )
+            align_exact = align_exact & box_exact
             box_feats = heads_mod.mlp_box_head(
                 params, roi_feats, jnp.dtype(cfg.compute_dtype)
             )
@@ -229,9 +233,10 @@ def make_inference_fn(
                     mask_rois, cfg.fpn.roi_min_level, cfg.fpn.roi_max_level,
                     cfg.fpn.roi_canonical_scale, cfg.fpn.roi_canonical_level,
                 ) - cfg.fpn.roi_min_level
-                mask_feats = _fpn_roi_align(
+                mask_feats, mask_exact = _fpn_roi_align(
                     cfg, level_feats, mask_rois, mask_levels, msize
                 )
+                align_exact = align_exact & mask_exact
             else:
                 mask_feats = roi_align_matmul(
                     c4[0], mask_rois, msize, msize,
@@ -254,6 +259,7 @@ def make_inference_fn(
             roi_valid=roi_valid,
             cls_scores=cls_scores,
             bbox_deltas=bbox_deltas,
+            roi_align_exact=align_exact,
         )
 
     return forward
