@@ -21,15 +21,12 @@ so importing reduces to layout conversion:
 from __future__ import annotations
 
 import pickle
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 
 from detectorch_tpu.config import ModelConfig
-from detectorch_tpu.models import fpn as fpn_mod
-from detectorch_tpu.models import heads as heads_mod
 from detectorch_tpu.models import resnet as resnet_mod
-from detectorch_tpu.models import rpn as rpn_mod
 
 
 def load_caffe2_pkl(path: str) -> Dict[str, np.ndarray]:

@@ -12,7 +12,6 @@ double-buffering (submit next before blocking on previous).
 
 from __future__ import annotations
 
-import json
 import time
 from typing import Dict, List, Optional
 

@@ -11,7 +11,7 @@ Detectron convention the reference importer reconstructs at
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ transpose and every blob is auditable against the reference
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

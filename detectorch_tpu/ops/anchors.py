@@ -14,7 +14,7 @@ the compiled program (no host round-trip at runtime, unlike reference
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -34,7 +34,6 @@ sorting, splitting, or restore-index round trip.
 
 from __future__ import annotations
 
-import functools
 from typing import Sequence, Tuple
 
 import jax

@@ -14,7 +14,7 @@ all-reduce when the loss mean spans the sharded batch axis.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

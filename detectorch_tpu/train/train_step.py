@@ -10,7 +10,7 @@ all-reduce (replacing the reference's torch DataParallel scatter/gather,
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Optional, Tuple
+from typing import Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
