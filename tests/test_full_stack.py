@@ -105,6 +105,49 @@ def test_full_stack_c4_faster_rcnn(setup):
         np.testing.assert_allclose(gb, eb, rtol=2e-2, atol=0.2)
 
 
+def test_full_stack_c4_mask_branch(setup):
+    """Mask head wiring on final detections: RoIAlign at 14x14 on C4
+    features -> shared res5 trunk -> deconv -> per-class sigmoid -> class
+    gather, vs the torch+numpy mirror."""
+    import torch.nn.functional as F
+
+    from detectorch_tpu.config import MaskConfig
+    from detectorch_tpu.models.heads import init_mask_head_params
+
+    cfg, tcfg, params, image, im_scale, orig_h, orig_w = setup
+    cfg = cfg.replace(
+        use_mask=True,
+        mask=MaskConfig(head_type="upshare", resolution=14, roi_size=14),
+    )
+    params = dict(params)
+    params.update(init_mask_head_params("upshare", seed=21))
+
+    fwd = jax.jit(make_inference_fn(cfg, tcfg))
+    out = fwd(params, image, jnp.float32(im_scale),
+              jnp.float32(orig_h), jnp.float32(orig_w))
+    d = out.detections
+    ok = np.asarray(d.valid)
+    if not ok.any():
+        pytest.skip("no detections with this random seed")
+    det_boxes = np.asarray(d.boxes)[ok]
+    det_classes = np.asarray(d.classes)[ok]
+    got_masks = np.asarray(out.masks)[ok]
+
+    # mirror: same detections -> scaled rois -> np RoIAlign -> torch trunk
+    feats = TM.c4_body(params, image)
+    feats_np = feats[0].detach().numpy().astype(np.float64)
+    mask_rois = det_boxes * im_scale
+    roi_feats = np_roi_align(feats_np, mask_rois, 14, 14, 1.0 / 16, 0).astype(np.float32)
+    trunk = TM.stage(params, torch.from_numpy(roi_feats).float(), "res5", 3, 2)
+    w = TM.t(params["conv5_mask_w"])  # (2048, 256, 2, 2)
+    x = F.relu(F.conv_transpose2d(trunk, w, TM.t(params["conv5_mask_b"]), stride=2))
+    wl = TM.t(params["mask_fcn_logits_w"]).permute(3, 2, 0, 1)
+    logits = F.conv2d(x, wl, TM.t(params["mask_fcn_logits_b"]))
+    probs = torch.sigmoid(logits).detach().numpy()  # (K, 81, M, M)
+    exp_masks = np.stack([probs[i, det_classes[i]] for i in range(len(det_classes))])
+    np.testing.assert_allclose(got_masks, exp_masks, rtol=5e-2, atol=5e-3)
+
+
 def test_full_stack_fpn_faster_rcnn():
     """FPN path: per-level RPN with shared head, collect, multilevel
     RoIAlign routing, MLP head — vs the torch+numpy mirror."""
