@@ -47,7 +47,7 @@ def main():
     fn = make_batched_inference_fn(cfg, test_cfg, mesh)
     params = shard_params(params, mesh)
 
-    per_dev_batch = int(os.environ.get("BENCH_PER_DEV_BATCH", "8"))
+    per_dev_batch = int(os.environ.get("BENCH_PER_DEV_BATCH", "16"))
     b = ndev * per_dev_batch
     h, w = 832, 1344
     rng = np.random.RandomState(0)

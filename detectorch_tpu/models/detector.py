@@ -153,8 +153,20 @@ def make_inference_fn(
 
     def forward(params, image, im_scale, orig_h, orig_w,
                 proposals=None, proposals_valid=None):
-        im_h, im_w = float(image.shape[0]), float(image.shape[1])
         x = image[None].astype(jnp.dtype(cfg.compute_dtype))
+
+        # proposal clip/filter bounds: the reference uses the blob dims —
+        # the ACTUAL resized image (C4) or its ceil-to-stride-32 padding
+        # (FPN, blob.py:39-42) — NOT our static shape bucket. Recover the
+        # cv2-resized dims from orig size x scale as traced scalars (static
+        # shapes are untouched); anchors over the bucket's extra padding
+        # then get filtered exactly like the reference never having them.
+        im_h = jnp.minimum(jnp.round(orig_h * im_scale), image.shape[0])
+        im_w = jnp.minimum(jnp.round(orig_w * im_scale), image.shape[1])
+        if cfg.use_fpn:
+            stride = float(cfg.fpn.coarsest_stride)
+            im_h = jnp.minimum(jnp.ceil(im_h / stride) * stride, image.shape[0])
+            im_w = jnp.minimum(jnp.ceil(im_w / stride) * stride, image.shape[1])
 
         if cfg.use_fpn:
             feats = resnet_mod.multilevel_body(params, x, cfg.arch)

@@ -92,6 +92,26 @@ def test_pallas_roi_align_path_matches_gather(rng):
     )
 
 
+def test_proposals_respect_scaled_image_bounds(rng):
+    """Anchors over the shape-bucket padding must not emit proposals: clip/
+    filter bounds are the actual resized-image dims (reference blob dims),
+    not the bucket. Image here occupies 64x64 of a 96x128 bucket."""
+    cfg = small_cfg("e2e_faster_rcnn_R-50-FPN_2x")
+    params = init_params(cfg, seed=0)
+    fwd = jax.jit(make_inference_fn(cfg, TEST_CFG))
+    image = np.zeros((96, 128, 3), np.float32)
+    image[:64, :64] = rng.randn(64, 64, 3) * 10
+    out = fwd(params, image, jnp.float32(2.0), jnp.float32(32.0), jnp.float32(32.0))
+    valid = np.asarray(out.roi_valid)
+    rois = np.asarray(out.rois)[valid]
+    if len(rois):
+        cx = (rois[:, 0] + rois[:, 2] + 1) / 2
+        cy = (rois[:, 1] + rois[:, 3] + 1) / 2
+        # FPN bounds: ceil32(round(32*2)) = 64
+        assert cx.max() < 64.0 and cy.max() < 64.0
+        assert rois[:, 2].max() <= 63.0 and rois[:, 3].max() <= 63.0
+
+
 def test_detector_deterministic(rng):
     cfg = small_cfg("e2e_faster_rcnn_R-50-FPN_2x")
     params = init_params(cfg, seed=0)
