@@ -142,6 +142,11 @@ class TestConfig:
     # maximum number of input proposals fed to the box branch (Fast R-CNN
     # precomputed proposals get padded/truncated to this)
     max_proposals: int = 1000
+    # pad images exactly like the reference (ceil-to-stride-32 of the
+    # resized image) instead of to the static shape buckets: bit-parity
+    # edge behaviour for eval at the cost of one compiled program per
+    # distinct ceil-32 shape (~10-30 programs over COCO)
+    exact_blob_dims: bool = False
 
 
 @dataclass(frozen=True)

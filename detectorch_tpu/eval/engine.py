@@ -63,6 +63,7 @@ class InferenceEngine:
         image, scale, (oh, ow) = T.preprocess_image(
             im_rgb, self.test_cfg.target_size, self.test_cfg.max_size,
             pad_stride=self.cfg.fpn.coarsest_stride if self.cfg.use_fpn else 32,
+            buckets=None if self.test_cfg.exact_blob_dims else T.DEFAULT_BUCKETS,
         )
         args = [
             self.params, image, jnp.float32(scale),

@@ -29,6 +29,8 @@ def main():
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--out", default=None, help="write results json here")
     p.add_argument("--fp32", action="store_true", help="fp32 backbone compute")
+    p.add_argument("--exact-blob", action="store_true",
+                   help="reference-exact ceil-32 image padding (more compiles)")
     args = p.parse_args()
 
     from detectorch_tpu.config import PRESETS, TestConfig
@@ -39,7 +41,7 @@ def main():
     cfg = PRESETS[args.preset]
     if args.fp32:
         cfg = cfg.replace(compute_dtype="float32")
-    test_cfg = TestConfig()
+    test_cfg = TestConfig(exact_blob_dims=args.exact_blob)
 
     print(f"loading weights {args.weights}", flush=True)
     blobs = c2.load_caffe2_pkl(args.weights)
