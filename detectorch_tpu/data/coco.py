@@ -85,6 +85,26 @@ class CocoDataset:
         self.num_classes = len(self.classes)
         self.json_to_contiguous = {v: i + 1 for i, v in enumerate(cat_ids)}
         self.contiguous_to_json = {v: k for k, v in self.json_to_contiguous.items()}
+        self._init_keypoints()
+
+    def _init_keypoints(self):
+        """Keypoint metadata for person-keypoint datasets
+        (reference json_dataset.py:268-296)."""
+        self.keypoints = None
+        self.keypoint_flip_map = None
+        self.num_keypoints = 0
+        for cat in self.coco.cats.values():
+            if cat.get("name") == "person" and "keypoints" in cat:
+                self.keypoints = list(cat["keypoints"])
+                self.num_keypoints = len(self.keypoints)
+                self.keypoint_flip_map = {
+                    "left_eye": "right_eye", "left_ear": "right_ear",
+                    "left_shoulder": "right_shoulder",
+                    "left_elbow": "right_elbow", "left_wrist": "right_wrist",
+                    "left_hip": "right_hip", "left_knee": "right_knee",
+                    "left_ankle": "right_ankle",
+                }
+                break
 
     def image_path(self, img: dict) -> str:
         return os.path.join(self.image_directory, img["file_name"])

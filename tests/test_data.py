@@ -63,6 +63,25 @@ def test_category_mapping(coco_dir):
     assert ds.contiguous_to_json[2] == 3
 
 
+def test_keypoint_metadata(tmp_path):
+    import json as _json
+
+    ds_json = {
+        "images": [{"id": 1, "file_name": "x.jpg", "height": 10, "width": 10}],
+        "annotations": [],
+        "categories": [{
+            "id": 1, "name": "person",
+            "keypoints": ["nose", "left_eye", "right_eye"],
+        }],
+    }
+    p = tmp_path / "kp.json"
+    p.write_text(_json.dumps(ds_json))
+    ds = CocoDataset(str(p), str(tmp_path))
+    assert ds.num_keypoints == 3
+    assert ds.keypoints[0] == "nose"
+    assert ds.keypoint_flip_map["left_eye"] == "right_eye"
+
+
 def test_gt_roidb(coco_dir):
     ds = CocoDataset(*coco_dir)
     roidb = ds.get_roidb(gt=True)
