@@ -92,6 +92,27 @@ def preprocess_image(
     return out, scale, (h, w)
 
 
+def preprocess_image_pyramid(
+    im_rgb: np.ndarray,
+    target_sizes: Sequence[int],
+    max_size: int = 1333,
+    pad_stride: int = 32,
+    buckets: Optional[Sequence[Tuple[int, int]]] = None,
+    pixel_means: np.ndarray = PIXEL_MEANS_RGB,
+):
+    """Multi-scale image pyramid (reference blob.py:57-87 target_sizes list):
+    one (padded image, scale) per target size. Buckets default to exact
+    ceil-to-stride padding since pyramid levels span many shapes."""
+    out = []
+    for ts in target_sizes:
+        out.append(
+            preprocess_image(
+                im_rgb, ts, max_size, pad_stride, buckets, pixel_means
+            )
+        )
+    return out
+
+
 def dedup_proposals(proposals: np.ndarray, spatial_scale: float = 0.0625):
     """Remove proposals that alias to the same feature-map roi (reference
     preprocess_sample.py:63-70). Returns (unique proposals, inverse index)."""

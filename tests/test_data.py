@@ -193,6 +193,19 @@ def test_preprocess_image(rng):
     assert out2.shape[-1] == 3
 
 
+def test_preprocess_image_pyramid(rng):
+    im = (rng.uniform(size=(300, 400, 3)) * 255).astype(np.uint8)
+    levels = T.preprocess_image_pyramid(im, target_sizes=[400, 600, 800])
+    assert len(levels) == 3
+    scales = [lv[1] for lv in levels]
+    np.testing.assert_allclose(scales, [400 / 300, 600 / 300, 800 / 300])
+    for (img, scale, (oh, ow)) in levels:
+        assert (oh, ow) == (300, 400)
+        assert img.shape[0] % 32 == 0 and img.shape[1] % 32 == 0
+        # padded dims cover the scaled image
+        assert img.shape[0] >= int(300 * scale) and img.shape[1] >= int(400 * scale)
+
+
 def test_dedup_and_pad_proposals(rng):
     p = np.array([[0, 0, 64, 64], [0.01, 0, 64, 64], [100, 100, 200, 200]], np.float32)
     uniq, inv = T.dedup_proposals(p, 1.0 / 16)

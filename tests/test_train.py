@@ -153,6 +153,46 @@ def test_train_step_learns(rng):
     )
 
 
+def test_optimizer_state_checkpoint_roundtrip(tmp_path, rng):
+    """Full training state (params + optimizer momentum) must survive
+    save/restore — the reference saved optimizer state too
+    (train_fast.py:177-183), though its restore was never implemented."""
+    from detectorch_tpu.checkpoint import store
+
+    cfg = PRESETS["fast_rcnn_R-50-C4_2x"].replace(compute_dtype="float32")
+    params = init_params(cfg, seed=0)
+    solver = SolverConfig(base_lr=1e-4, warmup_iters=0, weight_decay=0.0)
+    init_state, make_step = make_train_step(cfg, solver)
+    state, tx = init_state(params)
+    step = jax.jit(make_step(tx))
+    e = make_entry(rng)
+    b = S.sample_rois(e, 0.5, rng, SamplerConfig(rois_per_image=16))
+    image = rng.randn(64, 80, 3).astype(np.float32)
+    batch = {k: v[None] for k, v in dict(
+        image=image, rois=b["rois"], labels=b["labels"],
+        bbox_targets=b["bbox_targets"],
+        bbox_inside_weights=b["bbox_inside_weights"],
+        bbox_outside_weights=b["bbox_outside_weights"], valid=b["valid"],
+    ).items()}
+    state, _ = step(state, batch)  # build nonzero momentum
+    tree = {
+        "step": np.int32(1),
+        "params": jax.tree.map(np.asarray, state.params),
+        "opt_state": jax.tree.map(np.asarray, state.opt_state),
+    }
+    store.save_checkpoint(str(tmp_path), 1, tree)
+    restored = store.restore_checkpoint(store.latest_checkpoint(str(tmp_path)), tree)
+    # momentum (trace) leaves restored exactly
+    orig_leaves = jax.tree.leaves(tree["opt_state"])
+    rest_leaves = jax.tree.leaves(restored["opt_state"])
+    assert len(orig_leaves) == len(rest_leaves)
+    nonzero = 0
+    for a, c in zip(orig_leaves, rest_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+        nonzero += int(np.any(np.asarray(a) != 0))
+    assert nonzero > 0  # momentum actually carried information
+
+
 def test_checkpoint_save_restore(tmp_path, rng):
     from detectorch_tpu.checkpoint import store
 

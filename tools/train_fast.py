@@ -85,12 +85,16 @@ def main():
     if args.resume:
         latest = store.latest_checkpoint(args.out)
         if latest:
-            tree = {"step": np.int32(0), "params": state.params}
+            # full training state incl. optimizer momentum (the reference
+            # saved optimizer state too, train_fast.py:177-183)
+            tree = {"step": np.int32(0), "params": state.params,
+                    "opt_state": state.opt_state}
             restored = store.restore_checkpoint(latest, tree)
             start_iter = int(restored["step"])
             state = state._replace(
                 step=jnp.asarray(start_iter, jnp.int32),
-                params={k: jnp.asarray(v) for k, v in restored["params"].items()},
+                params=jax.tree.map(jnp.asarray, restored["params"]),
+                opt_state=jax.tree.map(jnp.asarray, restored["opt_state"]),
             )
             print(f"resumed from {latest} at iter {start_iter}", flush=True)
 
@@ -138,7 +142,8 @@ def main():
             path = store.save_checkpoint(
                 args.out, it + 1,
                 {"step": np.int32(it + 1),
-                 "params": jax.tree.map(np.asarray, state.params)},
+                 "params": jax.tree.map(np.asarray, state.params),
+                 "opt_state": jax.tree.map(np.asarray, state.opt_state)},
             )
             print(f"saved {path}", flush=True)
 
