@@ -142,16 +142,34 @@ def multilevel_roi_align_pallas(
     slab_row = (lvl_row0 + y0).astype(jnp.int32)
     slab_col = x0.astype(jnp.int32)
 
-    def kernel(sr_ref, sc_ref, ky_ref, kx_ref, atlas_ref, out_ref, vmem, sem):
+    def kernel(sr_ref, sc_ref, ky_ref, kx_ref, atlas_ref, out_ref, vmem, sems):
+        # double-buffered slab DMA: scratch persists across grid steps, so
+        # each step prefetches roi i+1's slab while computing on roi i's
         i = pl.program_id(0)
-        row = pl.multiple_of(sr_ref[i], 8)
-        col = pl.multiple_of(sc_ref[i], 8)
-        dma = pltpu.make_async_copy(
-            atlas_ref.at[pl.ds(row, slab), pl.ds(col, slab), :], vmem, sem
-        )
-        dma.start()
-        dma.wait()
-        slab_v = vmem[...].astype(jnp.float32)
+        n_total = pl.num_programs(0)
+
+        def slab_dma(idx, slot):
+            row = pl.multiple_of(sr_ref[idx], 8)
+            col = pl.multiple_of(sc_ref[idx], 8)
+            return pltpu.make_async_copy(
+                atlas_ref.at[pl.ds(row, slab), pl.ds(col, slab), :],
+                vmem.at[slot],
+                sems.at[slot],
+            )
+
+        cur = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i == 0)
+        def _():
+            slab_dma(0, cur).start()
+
+        @pl.when(i + 1 < n_total)
+        def _():
+            slab_dma(i + 1, nxt).start()
+
+        slab_dma(i, cur).wait()
+        slab_v = vmem[cur].astype(jnp.float32)
         kyv = ky_ref[0]
         kxv = kx_ref[0]
         tmp = jnp.dot(
@@ -179,8 +197,8 @@ def multilevel_roi_align_pallas(
             (1, pooled_h, pooled_w, channels), lambda i, sr, sc: (i, 0, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((slab, slab, channels), dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, slab, slab, channels), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(

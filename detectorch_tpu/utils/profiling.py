@@ -27,8 +27,12 @@ def trace(logdir: str = "/tmp/jax-trace"):
 
 
 def _sync(out):
+    """Force completion by fetching ONE element (sliced on device — fetching
+    a whole large leaf through a remote tunnel costs seconds)."""
     leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(leaf)[..., :1] if hasattr(leaf, "ndim") and leaf.ndim else np.asarray(leaf)
+    if hasattr(leaf, "ndim") and leaf.ndim:
+        leaf = leaf[(0,) * leaf.ndim]
+    np.asarray(leaf)
 
 
 def device_timer(fn, *args, iters: int = 10, pipeline: bool = True):
