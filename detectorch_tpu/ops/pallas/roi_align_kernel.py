@@ -17,10 +17,12 @@ TPU-native replacement for the reference's CUDA bilinear kernel
 Footprint bound: FPN level assignment keeps sqrt(roi area) between 14 and
 ~42 feature pixels on the assigned level, so square-ish rois always fit a
 64-slab; extreme aspect ratios (e.g. 1333x10 boxes) can exceed it on one
-axis. `multilevel_roi_align_pallas` therefore CLAMPS oversized footprints
-(crop_and_resize-style) and is the opt-in fast path; the exact
-`ops.roi_align.multilevel_roi_align` gather remains the default. `fits_slab`
-reports which rois are exact.
+axis, where sampling gets crop-clamped. The kernel therefore returns a
+per-roi `fits` mask alongside the output; the detector reduces it to a
+program-level `roi_align_exact` flag and the inference engine re-runs
+flagged images through the exact gather variant (eval/engine.py:finalize),
+so end-to-end results are always exact while the fast path stays pure —
+this is the default FPN RoIAlign (~2x end-to-end throughput vs gather).
 """
 
 from __future__ import annotations
