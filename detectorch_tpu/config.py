@@ -132,6 +132,10 @@ class TestConfig:
     score_thresh: float = 0.05
     nms_thresh: float = 0.5
     detections_per_img: int = 100
+    # extra padded detection slots for score TIES at the global cap: the
+    # reference keeps every detection >= the k-th largest score
+    # (result_utils.py:160-166), which can exceed k when scores tie
+    detections_tie_slack: int = 8
     bbox_reg_weights: Tuple[float, float, float, float] = (10.0, 10.0, 5.0, 5.0)
     soft_nms: bool = False
     soft_nms_sigma: float = 0.5

@@ -7,10 +7,12 @@ fixed-shape device program:
   * unscale rois by im_scale, decode per-class deltas (weights 10,10,5,5),
     clip to the original image (result_utils.py:83-89);
   * per class j in 1..C-1 (one vmapped NMS over the class axis): mask scores
-    <= 0.05, NMS@0.5, keep top `detections_per_img` per class — exact,
-    because the global cap below can never admit more than K from one class;
-  * global top `detections_per_img` (100) across classes
-    (result_utils.py:160-166).
+    <= 0.05, NMS@0.5, keep up to k+slack per class — exact, because the
+    global cap below can never admit more than its own k+slack slots from
+    one class;
+  * global cap across classes: keep everything >= the `detections_per_img`
+    (100)-th largest score — ties at the threshold all survive, exactly as
+    result_utils.py:160-166 (see the inline comment on the slack).
 
 Output is a padded (K, ...) detection set with a validity mask, which feeds
 the mask head *inside the same jit program*.
@@ -59,6 +61,10 @@ def postprocess_detections(
     """cls_scores (N, C) softmax probs; bbox_deltas (N, 4C); rois (N, 4) in
     network-input (scaled) coords; roi_valid (N,) bool."""
     k = test_cfg.detections_per_img
+    # per-class NMS keeps up to k_pad: the global >=threshold cap below can
+    # admit more than k detections from ONE class when scores tie at the
+    # threshold, but never more than k_pad (its own slot count)
+    k_pad = k + test_cfg.detections_tie_slack
     pred = decode_boxes(rois, bbox_deltas, im_scale, orig_h, orig_w, test_cfg)
 
     # drop background class 0; axes become (C-1, N, ...)
@@ -70,7 +76,7 @@ def postprocess_detections(
     if test_cfg.soft_nms:
         def one_class(b, s, v):
             idx, sc, ok = nms_ops.soft_nms(
-                b, s, max_out=k, sigma=test_cfg.soft_nms_sigma,
+                b, s, max_out=k_pad, sigma=test_cfg.soft_nms_sigma,
                 overlap_thresh=test_cfg.nms_thresh, score_thresh=0.0001,
                 method=test_cfg.soft_nms_method, valid=v,
             )
@@ -79,7 +85,7 @@ def postprocess_detections(
         keep_idx, keep_scores, keep_ok = jax.vmap(one_class)(cls_boxes, cls_sc, valid)
     else:
         keep_idx, keep_ok = nms_ops.batched_nms(
-            cls_boxes, cls_sc, max_out=k, iou_thresh=test_cfg.nms_thresh, valid=valid
+            cls_boxes, cls_sc, max_out=k_pad, iou_thresh=test_cfg.nms_thresh, valid=valid
         )
         keep_scores = jnp.take_along_axis(cls_sc, keep_idx, axis=1)
 
@@ -100,14 +106,23 @@ def postprocess_detections(
 
     keep_scores = jnp.where(keep_ok, keep_scores, -jnp.inf)
 
-    # global top-K across classes (result_utils.py:160-166)
+    # Global cap across classes (result_utils.py:160-166). The reference
+    # computes image_thresh = k-th largest score and keeps everything
+    # >= image_thresh — score TIES at the threshold all survive, so the
+    # result can exceed k. Reproduce that with `detections_tie_slack`
+    # extra padded slots: select the top k+slack (lax.top_k ties break to
+    # the lower flat index = the reference's class-major concat order),
+    # then validate by the >= threshold rule. Only ties deeper than the
+    # slack (degenerate score collisions) are truncated.
     flat_scores = keep_scores.reshape(-1)
     flat_boxes = keep_boxes.reshape(-1, 4)
     flat_cls = jnp.broadcast_to(
         jnp.arange(1, num_classes, dtype=jnp.int32)[:, None], keep_scores.shape
     ).reshape(-1)
-    top_scores, top_idx = jax.lax.top_k(flat_scores, k)
-    ok = top_scores > -jnp.inf
+    top_scores, top_idx = jax.lax.top_k(flat_scores, k_pad)
+    n_dets = jnp.sum(flat_scores > -jnp.inf)
+    image_thresh = top_scores[k - 1]  # finite whenever n_dets > k
+    ok = jnp.where(n_dets > k, top_scores >= image_thresh, top_scores > -jnp.inf)
     return Detections(
         boxes=flat_boxes[top_idx],
         scores=jnp.where(ok, top_scores, 0.0),

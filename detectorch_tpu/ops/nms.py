@@ -61,9 +61,14 @@ def nms_loop(boxes, scores, max_out: int, iou_thresh: float, valid=None):
     if valid is not None:
         scores = jnp.where(valid, scores, NEG_INF)
 
+    n = scores.shape[0]
+
     def body(i, state):
         live_scores, keep_idx, keep_valid = state
-        best = jnp.argmax(live_scores)
+        # Detectron picks via scores.argsort()[::-1] (cython_nms.pyx:45):
+        # on score ties the HIGHER input index comes first; plain argmax
+        # would pick the lower one, so argmax over the reversed array.
+        best = n - 1 - jnp.argmax(live_scores[::-1])
         best_ok = live_scores[best] > NEG_INF
         ious = iou_one_to_many(boxes[best], boxes)
         suppress = best_ok & (ious >= iou_thresh)
@@ -98,8 +103,14 @@ def nms_blocked(
         boxes = jnp.pad(boxes, ((0, pad), (0, 0)))
         scores = jnp.pad(scores, (0, pad), constant_values=NEG_INF)
 
-    # sort by score desc (stable lower-index tie-break, matching argsort(-s))
-    sort_scores, order = jax.lax.top_k(scores, n)
+    # sort by score desc with ties broken toward the HIGHER input index,
+    # matching the reference's scores.argsort()[::-1] (cython_nms.pyx:45,
+    # stable ascending argsort then reversed). Two-key lexicographic sort:
+    # ascending (-score, -index) == descending (score, index).
+    neg_idx = -jnp.arange(n, dtype=jnp.int32)
+    sort_neg_scores, sorted_neg_idx = jax.lax.sort((-scores, neg_idx), num_keys=2)
+    order = -sorted_neg_idx
+    sort_scores = -sort_neg_scores
     sboxes = boxes[order]
     alive_mask = sort_scores > NEG_INF  # padded/invalid can't keep or suppress
 

@@ -33,12 +33,19 @@ def np_bbox_transform(boxes, deltas, weights=(1.0, 1.0, 1.0, 1.0)):
     return out
 
 
-def np_nms(dets, thresh):
+def np_nms(dets, thresh, kind=None):
     """reference lib/utils_cython/cython_nms.pyx:37-87 (greedy, +1 areas,
-    suppress at IoU >= thresh). Returns kept indices in pick order."""
+    suppress at IoU >= thresh). Returns kept indices in pick order.
+
+    `kind` is the argsort kind. The reference uses numpy's default
+    (introsort — stable only below the 16-element insertion-sort cutoff);
+    pass kind='stable' to pin the tie order to "higher index first", the
+    deterministic interpretation of argsort()[::-1] that the device NMS
+    reproduces.
+    """
     x1, y1, x2, y2, scores = dets[:, 0], dets[:, 1], dets[:, 2], dets[:, 3], dets[:, 4]
     areas = (x2 - x1 + 1) * (y2 - y1 + 1)
-    order = scores.argsort()[::-1]
+    order = scores.argsort(kind=kind)[::-1]
     suppressed = np.zeros(len(dets), dtype=bool)
     keep = []
     for _i in range(len(order)):

@@ -50,7 +50,7 @@ def test_preset_end_to_end(name, rng):
         )
 
     dets = out.detections
-    k = TEST_CFG.detections_per_img
+    k = TEST_CFG.detections_per_img + TEST_CFG.detections_tie_slack
     assert dets.boxes.shape == (k, 4)
     assert dets.scores.shape == (k,)
     assert dets.classes.shape == (k,)

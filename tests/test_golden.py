@@ -43,7 +43,9 @@ def _run():
         "roi_valid": np.asarray(out.roi_valid),
         "cls_mean": np.asarray(out.cls_scores).mean(axis=0),
         "delta_std": np.asarray(out.bbox_deltas).std(),
-        "det_scores_sorted": np.sort(np.asarray(out.detections.scores)),
+        "det_scores_sorted": np.sort(
+            np.asarray(out.detections.scores)[np.asarray(out.detections.valid)]
+        ),
         "n_valid": np.asarray(out.detections.valid).sum(),
     }
 

@@ -41,7 +41,7 @@ def test_batched_inference_data_parallel(rng):
     sp = M.shard_params(params, mesh)
     sharded = M.shard_batch(mesh, images, scales, ohs, ows)
     out = fn(sp, *sharded)
-    assert out.detections.boxes.shape == (b, 5, 4)
+    assert out.detections.boxes.shape == (b, 5 + tcfg.detections_tie_slack, 4)
     assert np.isfinite(np.asarray(out.detections.boxes)).all()
 
     # per-device results must equal single-device results

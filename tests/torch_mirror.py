@@ -124,6 +124,27 @@ def mlp_head(params, roi_feats_nchw):
     return x
 
 
+def four_layer_trunk(params, roi_feats_nchw):
+    """reference four_layer_conv (detector.py:67-82): 4x (3x3 conv 256 + relu)."""
+    x = torch.from_numpy(roi_feats_nchw).float()
+    for i in range(1, 5):
+        w = t(params[f"_[mask]_fcn{i}_w"]).permute(3, 2, 0, 1)
+        x = F.relu(F.conv2d(x, w, bias=t(params[f"_[mask]_fcn{i}_b"]), padding=1))
+    return x
+
+
+def mask_probs_fpn(params, roi_feats_nchw):
+    """reference mask_head.forward with the 1up4convs trunk
+    (detector.py:99-112,216-223): trunk -> 2x2/2 deconv -> 1x1 logits ->
+    sigmoid. Returns (K, 81, M, M) numpy."""
+    x = four_layer_trunk(params, roi_feats_nchw)
+    w = t(params["conv5_mask_w"])  # (256, 256, 2, 2) ConvTranspose layout
+    x = F.relu(F.conv_transpose2d(x, w, t(params["conv5_mask_b"]), stride=2))
+    wl = t(params["mask_fcn_logits_w"]).permute(3, 2, 0, 1)
+    logits = F.conv2d(x, wl, t(params["mask_fcn_logits_b"]))
+    return torch.sigmoid(logits).detach().numpy()
+
+
 def np_map_levels(rois, k_min=2, k_max=5):
     w = rois[:, 2] - rois[:, 0] + 1
     h = rois[:, 3] - rois[:, 1] + 1
@@ -148,9 +169,11 @@ def postprocess(scores, boxes_decoded, num_classes=81, score_thresh=0.05,
         thresh = np.sort(all_scores)[-max_det]
         for j in range(1, num_classes):
             cls_boxes[j] = cls_boxes[j][cls_boxes[j][:, 4] >= thresh]
+    # NOTE: the reference keeps EVERYTHING >= the max_det-th score — ties at
+    # the threshold can push the count past max_det (result_utils.py:160-166)
     out = []
     for j in range(1, num_classes):
         for row in cls_boxes[j]:
             out.append((j, row[4], row[:4]))
     out.sort(key=lambda r: -r[1])
-    return out[:max_det]
+    return out
