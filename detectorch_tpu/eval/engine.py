@@ -185,8 +185,17 @@ def evaluate_dataset(
     verbose: bool = True,
     batch_size: int = 1,
     mesh=None,
+    output_dir: Optional[str] = None,
+    dataset_name: str = "dataset",
+    per_class_ap: bool = False,
 ):
-    """Full dataset loop -> (bbox stats, segm stats or None, results dict)."""
+    """Full dataset loop -> (bbox stats, segm stats or None, results dict).
+
+    With `output_dir` set, results are round-tripped through COCO-format
+    json files and the evaluator pickles are saved, exactly like the
+    reference's evaluate_boxes/evaluate_masks
+    (json_dataset_evaluator.py:40-64,128-146); `per_class_ap` additionally
+    prints the reference's per-category AP table (:205-235)."""
     if roidb is None:
         roidb = dataset.get_roidb(gt=False)
     if limit:
@@ -256,10 +265,22 @@ def evaluate_dataset(
     def _eval(results, iou_type):
         if not results:
             return None
+        if output_dir is not None:
+            from detectorch_tpu.eval import results_io
+
+            ev = results_io.evaluate_from_results(
+                dataset.coco, results, iou_type, output_dir,
+                dataset_name=dataset_name, verbose=verbose,
+            )
+            return ev.stats
         coco_dt = dataset.coco.load_res(results)
         ev = COCOeval(dataset.coco, coco_dt, iou_type)
         ev.evaluate()
         ev.accumulate()
+        if per_class_ap:
+            from detectorch_tpu.eval import results_io
+
+            results_io.log_per_class_ap(ev, verbose=verbose)
         return ev.summarize(verbose=verbose)
 
     bbox_stats = _eval(bbox_results, "bbox")

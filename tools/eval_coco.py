@@ -28,6 +28,11 @@ def main():
                    help="proposal .pkl (required for fast_rcnn presets)")
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--out", default=None, help="write results json here")
+    p.add_argument("--output-dir", default=None,
+                   help="write COCO-format results jsons + evaluator pkls "
+                        "here (reference evaluate_boxes/masks flow)")
+    p.add_argument("--per-class-ap", action="store_true",
+                   help="print the per-category AP table")
     p.add_argument("--fp32", action="store_true", help="fp32 backbone compute")
     p.add_argument("--exact-blob", action="store_true",
                    help="reference-exact ceil-32 image padding (more compiles)")
@@ -53,7 +58,10 @@ def main():
         gt=False, proposal_file=args.proposals if not cfg.use_rpn else None
     )
     bbox_stats, segm_stats, info = evaluate_dataset(
-        cfg, test_cfg, params, ds, roidb=roidb, limit=args.limit
+        cfg, test_cfg, params, ds, roidb=roidb, limit=args.limit,
+        output_dir=args.output_dir,
+        dataset_name=os.path.splitext(os.path.basename(args.ann))[0],
+        per_class_ap=args.per_class_ap,
     )
     print(f"throughput: {info['images_per_sec']:.2f} images/sec", flush=True)
     if bbox_stats is not None:
