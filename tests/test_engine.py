@@ -103,3 +103,55 @@ def test_mask_rcnn_eval_loop(tiny_coco, rng):
         assert segm_stats is not None
         r = info["segm"][0]
         assert "segmentation" in r and isinstance(r["segmentation"]["counts"], str)
+
+
+def test_engine_exact_rerun_on_slab_overflow(rng):
+    """VERDICT r1 item 7: an extreme-aspect roi overflows the Pallas
+    kernel's 64-slab (FPN level rule bounds AREA, not aspect —
+    roi_align_kernel.py:17-25); the program must flag roi_align_exact=False
+    and the engine's finalize() must re-run the image through the exact
+    gather program, yielding detections identical to a pure-gather engine
+    (reference semantics anchor: roi_align_forward_cuda.cu:120-155)."""
+    from detectorch_tpu.eval.engine import InferenceEngine
+
+    cfg = PRESETS["fast_rcnn_R-50-FPN_2x"].replace(compute_dtype="float32")
+    assert cfg.use_pallas_roi_align
+    tcfg = TestConfig(
+        target_size=64, max_size=288, detections_per_img=5, max_proposals=8,
+        score_thresh=0.0, exact_blob_dims=True,
+    )
+    params = init_params(cfg, seed=0)
+
+    # 60x270 image -> scale 64/60; a 265-wide 6-tall proposal lands on level
+    # 2 (tiny area) with a ~283*0.25 = 71-column footprint > the 64 slab
+    im = (rng.uniform(size=(60, 270, 3)) * 255).astype(np.uint8)
+    proposals = np.array(
+        [
+            [0.0, 20.0, 265.0, 26.0],     # the slab-overflowing monster
+            [10.0, 10.0, 50.0, 50.0],
+            [100.0, 5.0, 180.0, 55.0],
+            [200.0, 25.0, 260.0, 58.0],
+        ]
+    )
+
+    fast = InferenceEngine(cfg, tcfg, params)
+    args, oh, ow = fast.preprocess(im, proposals)
+    out = fast.submit(args)
+    # the fast program itself must flag the overflow...
+    assert not bool(np.asarray(out.roi_align_exact))
+    res = fast.finalize(out, args, oh, ow)
+
+    # ...and finalize's rerun must equal the pure exact-gather engine
+    exact = InferenceEngine(
+        cfg.replace(use_pallas_roi_align=False), tcfg, params
+    )
+    res_exact = exact.run_image(im, proposals)
+    assert res["boxes"].shape == res_exact["boxes"].shape
+    np.testing.assert_array_equal(res["classes"], res_exact["classes"])
+    np.testing.assert_allclose(res["scores"], res_exact["scores"], rtol=1e-6)
+    np.testing.assert_allclose(res["boxes"], res_exact["boxes"], rtol=1e-6)
+
+    # sanity: a normal-aspect-only image does NOT trigger the rerun
+    args2, _, _ = fast.preprocess(im, proposals[1:])
+    out2 = fast.submit(args2)
+    assert bool(np.asarray(out2.roi_align_exact))

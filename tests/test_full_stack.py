@@ -148,29 +148,11 @@ def test_full_stack_c4_mask_branch(setup):
     np.testing.assert_allclose(got_masks, exp_masks, rtol=5e-2, atol=5e-3)
 
 
-def test_full_stack_fpn_faster_rcnn():
-    """FPN path: per-level RPN with shared head, collect, multilevel
-    RoIAlign routing, MLP head — vs the torch+numpy mirror."""
-    rng = np.random.RandomState(7)
-    cfg = PRESETS["e2e_faster_rcnn_R-50-FPN_2x"].replace(
-        compute_dtype="float32",
-        rpn=RPNConfig(pre_nms_top_n=200, post_nms_top_n=60),
-    )
-    tcfg = TestConfig(detections_per_img=15)
-    params = init_params(cfg, seed=11)
-    for k in list(params):
-        if k.endswith("_bn_s") and not k.endswith("branch2c_bn_s"):
-            params[k] = rng.uniform(0.8, 1.2, params[k].shape).astype(np.float32)
-    h, w = 128, 160
-    image = (rng.randn(h, w, 3) * 8).astype(np.float32)
-    im_scale = 1.0
-
-    fwd = jax.jit(make_inference_fn(cfg, tcfg))
-    out = fwd(params, image, jnp.float32(im_scale), jnp.float32(h), jnp.float32(w))
-
-    # mirror
-    cs = TM.multilevel_body(params, image)
-    pyr = TM.fpn_neck(params, cs)  # P2..P5 torch NCHW
+def _fpn_mirror_proposals(cfg, params, image, h, w, im_scale):
+    """torch+numpy mirror of the FPN trunk + per-level RPN + collect;
+    returns (exp_rois, pyr_np [P2..P5 HWC])."""
+    cs = TM.multilevel_body(params, image, cfg.arch)
+    pyr = TM.fpn_neck(params, cs, cfg.arch)  # P2..P5 torch NCHW
     pyr_np = [p[0].permute(1, 2, 0).detach().numpy() for p in pyr]
     p6 = pyr_np[-1][::2, ::2, :]
     rpn_feats = pyr_np + [p6]
@@ -195,7 +177,45 @@ def test_full_stack_fpn_faster_rcnn():
     all_props = np.vstack([c[0] for c in cand])
     all_scores = np.concatenate([c[1] for c in cand])
     order = np.argsort(-all_scores, kind="stable")[: cfg.rpn.post_nms_top_n]
-    exp_rois = all_props[order]
+    return all_props[order], pyr_np
+
+
+def _fpn_mirror_roi_align(pyr_np, rois, size, sampling_ratio=2):
+    """Level-routed multilevel RoIAlign via the C++-semantics transcription."""
+    lvls = TM.np_map_levels(rois)
+    roi_feats = np.zeros((len(rois), 256, size, size), np.float32)
+    for lv in range(2, 6):
+        idx = np.where(lvls == lv)[0]
+        if len(idx) == 0:
+            continue
+        feats_chw = pyr_np[lv - 2].transpose(2, 0, 1).astype(np.float64)
+        roi_feats[idx] = np_roi_align(
+            feats_chw, rois[idx], size, size, 1.0 / 2 ** lv, sampling_ratio
+        ).astype(np.float32)
+    return roi_feats
+
+
+def test_full_stack_fpn_faster_rcnn():
+    """FPN path: per-level RPN with shared head, collect, multilevel
+    RoIAlign routing, MLP head — vs the torch+numpy mirror."""
+    rng = np.random.RandomState(7)
+    cfg = PRESETS["e2e_faster_rcnn_R-50-FPN_2x"].replace(
+        compute_dtype="float32",
+        rpn=RPNConfig(pre_nms_top_n=200, post_nms_top_n=60),
+    )
+    tcfg = TestConfig(detections_per_img=15)
+    params = init_params(cfg, seed=11)
+    for k in list(params):
+        if k.endswith("_bn_s") and not k.endswith("branch2c_bn_s"):
+            params[k] = rng.uniform(0.8, 1.2, params[k].shape).astype(np.float32)
+    h, w = 128, 160
+    image = (rng.randn(h, w, 3) * 8).astype(np.float32)
+    im_scale = 1.0
+
+    fwd = jax.jit(make_inference_fn(cfg, tcfg))
+    out = fwd(params, image, jnp.float32(im_scale), jnp.float32(h), jnp.float32(w))
+
+    exp_rois, pyr_np = _fpn_mirror_proposals(cfg, params, image, h, w, im_scale)
 
     got_valid = np.asarray(out.roi_valid)
     got_rois = np.asarray(out.rois)[got_valid]
@@ -203,18 +223,114 @@ def test_full_stack_fpn_faster_rcnn():
     np.testing.assert_allclose(got_rois, exp_rois, rtol=1e-3, atol=0.05)
 
     # box branch: per-roi level routing + RoIAlign + MLP + predictors
-    lvls = TM.np_map_levels(exp_rois)
-    roi_feats = np.zeros((len(exp_rois), 256, 7, 7), np.float32)
-    for lv in range(2, 6):
-        idx = np.where(lvls == lv)[0]
-        if len(idx) == 0:
-            continue
-        feats_chw = pyr_np[lv - 2].transpose(2, 0, 1).astype(np.float64)
-        roi_feats[idx] = np_roi_align(
-            feats_chw, exp_rois[idx], 7, 7, 1.0 / 2 ** lv, 2
-        ).astype(np.float32)
+    roi_feats = _fpn_mirror_roi_align(pyr_np, exp_rois, 7)
     box_feats = TM.mlp_head(params, roi_feats)
     exp_cls, _ = TM.box_outputs(params, box_feats)
 
+    got_cls = np.asarray(out.cls_scores)[got_valid]
+    np.testing.assert_allclose(got_cls, exp_cls, rtol=5e-2, atol=2e-3)
+
+
+@pytest.mark.parametrize("preset", [
+    "e2e_mask_rcnn_R-50-FPN_2x", "e2e_mask_rcnn_R-101-FPN_2x",
+])
+def test_full_stack_fpn_mask_branch(preset):
+    """Value-level FPN mask-branch parity (the flagship path): Pallas
+    RoIAlign at 14x14 on final detections -> four_layer_conv trunk ->
+    deconv -> per-class sigmoid, vs the torch+numpy mirror — masks
+    compared, not just shapes. Covers R-50 AND R-101
+    (reference detector.py:84-112,216-223; README.md:31-32)."""
+    rng = np.random.RandomState(7)
+    cfg = PRESETS[preset].replace(
+        compute_dtype="float32",
+        rpn=RPNConfig(pre_nms_top_n=200, post_nms_top_n=60),
+    )
+    tcfg = TestConfig(detections_per_img=15)
+    params = init_params(cfg, seed=11)
+    for k in list(params):
+        if k.endswith("_bn_s") and not k.endswith("branch2c_bn_s"):
+            params[k] = rng.uniform(0.8, 1.2, params[k].shape).astype(np.float32)
+    h, w = 128, 160
+    image = (rng.randn(h, w, 3) * 8).astype(np.float32)
+    im_scale = 1.0
+
+    fwd = jax.jit(make_inference_fn(cfg, tcfg))
+    out = fwd(params, image, jnp.float32(im_scale), jnp.float32(h), jnp.float32(w))
+
+    exp_rois, pyr_np = _fpn_mirror_proposals(cfg, params, image, h, w, im_scale)
+    got_valid = np.asarray(out.roi_valid)
+    got_rois = np.asarray(out.rois)[got_valid]
+    assert len(got_rois) == len(exp_rois)
+    np.testing.assert_allclose(got_rois, exp_rois, rtol=1e-3, atol=0.05)
+
+    roi_feats = _fpn_mirror_roi_align(pyr_np, exp_rois, 7)
+    box_feats = TM.mlp_head(params, roi_feats)
+    exp_cls, _ = TM.box_outputs(params, box_feats)
+    got_cls = np.asarray(out.cls_scores)[got_valid]
+    np.testing.assert_allclose(got_cls, exp_cls, rtol=5e-2, atol=2e-3)
+
+    # ---- mask branch on OUR final detections (isolates the mask path
+    # from tiny box-score ordering differences) -------------------------
+    d = out.detections
+    ok = np.asarray(d.valid)
+    if not ok.any():
+        pytest.skip("no detections with this random seed")
+    det_boxes = np.asarray(d.boxes)[ok]
+    det_classes = np.asarray(d.classes)[ok]
+    got_masks = np.asarray(out.masks)[ok]
+
+    mask_rois = det_boxes * im_scale
+    mask_feats = _fpn_mirror_roi_align(pyr_np, mask_rois, cfg.mask.roi_size)
+    probs = TM.mask_probs_fpn(params, mask_feats)  # (K, 81, M, M)
+    exp_masks = np.stack(
+        [probs[i, det_classes[i]] for i in range(len(det_classes))]
+    )
+    assert exp_masks.shape[-1] == cfg.mask.resolution
+    np.testing.assert_allclose(got_masks, exp_masks, rtol=5e-2, atol=5e-3)
+
+
+def test_full_stack_c4_faster_rcnn_r101():
+    """C4 path on ResNet-101 (reference README.md:32 is an R-101 gate row):
+    proposals + class scores vs the torch+numpy mirror."""
+    rng = np.random.RandomState(3)
+    cfg = PRESETS["e2e_faster_rcnn_R-50-C4_2x"].replace(
+        compute_dtype="float32", arch="resnet101",
+        rpn=RPNConfig(pre_nms_top_n=300, post_nms_top_n=40),
+    )
+    tcfg = TestConfig(detections_per_img=10)
+    params = init_params(cfg, seed=13)
+    for k in list(params):
+        if k.endswith("_bn_s") and not k.endswith("branch2c_bn_s"):
+            params[k] = rng.uniform(0.8, 1.2, params[k].shape).astype(np.float32)
+    h, w = 96, 128
+    image = (rng.randn(h, w, 3) * 8).astype(np.float32)
+    im_scale = 1.0
+
+    fwd = jax.jit(make_inference_fn(cfg, tcfg))
+    out = fwd(params, image, jnp.float32(im_scale), jnp.float32(h), jnp.float32(w))
+
+    feats = TM.c4_body(params, image, "resnet101")
+    cls_prob, bbox_pred = TM.rpn_head(params, feats, "")
+    cls_np = cls_prob[0].permute(1, 2, 0).detach().numpy()
+    bbox_np = bbox_pred[0].permute(1, 2, 0).detach().numpy()
+    anchors = shifted_anchors(
+        cls_np.shape[0], cls_np.shape[1], 16.0,
+        tuple(cfg.anchors.sizes), tuple(cfg.anchors.aspect_ratios),
+    )
+    exp_props, _ = np_generate_proposals(
+        cls_np, bbox_np, anchors, float(h), float(w), im_scale,
+        cfg.rpn.pre_nms_top_n, cfg.rpn.post_nms_top_n, cfg.rpn.nms_thresh, 0.0,
+    )
+    got_valid = np.asarray(out.roi_valid)
+    got_rois = np.asarray(out.rois)[got_valid]
+    assert len(got_rois) == len(exp_props)
+    np.testing.assert_allclose(got_rois, exp_props, rtol=1e-3, atol=0.05)
+
+    feats_np = feats[0].detach().numpy()
+    roi_feats = np_roi_align(
+        feats_np.astype(np.float64), exp_props, 14, 14, 1.0 / 16, 0
+    ).astype(np.float32)
+    box_feats = TM.res5_head(params, roi_feats, "resnet101")
+    exp_cls, _ = TM.box_outputs(params, box_feats)
     got_cls = np.asarray(out.cls_scores)[got_valid]
     np.testing.assert_allclose(got_cls, exp_cls, rtol=5e-2, atol=2e-3)
