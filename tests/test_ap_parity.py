@@ -1,0 +1,88 @@
+"""Full-pipeline AP parity: `evaluate_dataset` vs the complete torch+numpy
+reference mirror, scored with the same COCOeval — the number that matters
+(reference README.md:24-32 gate), not just per-stage tensors.
+
+The default run covers one preset per architecture family; the full 7-preset
+matrix runs with AP_PARITY_FULL=1 (tools/ap_parity.py records it to
+AP_PARITY.json / PARITY.md).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from detectorch_tpu.eval.engine import evaluate_dataset
+from tests.ap_harness import (
+    family_of,
+    harness_cfg,
+    make_probe_weights,
+    mirror_evaluate,
+    prepare_dataset,
+)
+
+DEFAULT_PRESETS = [
+    "e2e_mask_rcnn_R-50-FPN_2x",   # flagship
+    "e2e_faster_rcnn_R-50-C4_2x",
+    "fast_rcnn_R-50-FPN_2x",       # precomputed-proposals path
+]
+ALL_PRESETS = [
+    "fast_rcnn_R-50-C4_2x",
+    "fast_rcnn_R-50-FPN_2x",
+    "e2e_faster_rcnn_R-50-C4_2x",
+    "e2e_faster_rcnn_R-50-FPN_2x",
+    "e2e_mask_rcnn_R-50-C4_2x",
+    "e2e_mask_rcnn_R-50-FPN_2x",
+    "e2e_mask_rcnn_R-101-FPN_2x",
+]
+
+FULL = os.environ.get("AP_PARITY_FULL", "") == "1"
+
+# |AP_ours - AP_mirror| tolerance: the reference gate is "within 0.2 AP
+# points" (0.002); we require 10x tighter on every one of the 12 stats.
+AP_TOL = 2e-4
+
+
+@pytest.fixture(scope="module")
+def synth():
+    return prepare_dataset()
+
+
+def run_preset_parity(preset, dataset, proposals_file):
+    cfg, tcfg = harness_cfg(preset)
+    params = make_probe_weights(family_of(preset), dataset)
+    roidb = (
+        dataset.get_roidb(gt=False)
+        if cfg.use_rpn
+        else dataset.get_roidb(gt=False, proposal_file=proposals_file)
+    )
+    ours_bbox, ours_segm, results = evaluate_dataset(
+        cfg, tcfg, params, dataset, roidb=roidb, verbose=False
+    )
+    mir_bbox, mir_segm = mirror_evaluate(cfg, tcfg, params, dataset, roidb)
+    return {
+        "ours_bbox": ours_bbox, "mirror_bbox": mir_bbox,
+        "ours_segm": ours_segm, "mirror_segm": mir_segm,
+        "n_dets": len(results["bbox"]),
+    }
+
+
+def check(r):
+    # the harness must produce a non-degenerate detector: real AP signal
+    assert r["ours_bbox"] is not None and r["mirror_bbox"] is not None
+    assert r["ours_bbox"][0] > 0.05, f"degenerate box AP {r['ours_bbox'][0]}"
+    d_bbox = float(np.max(np.abs(r["ours_bbox"] - r["mirror_bbox"])))
+    assert d_bbox < AP_TOL, (r["ours_bbox"], r["mirror_bbox"])
+    if r["ours_segm"] is not None:
+        d_segm = float(np.max(np.abs(r["ours_segm"] - r["mirror_segm"])))
+        assert d_segm < AP_TOL, (r["ours_segm"], r["mirror_segm"])
+    return d_bbox
+
+
+@pytest.mark.parametrize(
+    "preset", ALL_PRESETS if FULL else DEFAULT_PRESETS
+)
+def test_ap_parity(preset, synth):
+    dataset, proposals_file = synth
+    r = run_preset_parity(preset, dataset, proposals_file)
+    check(r)

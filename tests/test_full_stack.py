@@ -148,53 +148,6 @@ def test_full_stack_c4_mask_branch(setup):
     np.testing.assert_allclose(got_masks, exp_masks, rtol=5e-2, atol=5e-3)
 
 
-def _fpn_mirror_proposals(cfg, params, image, h, w, im_scale):
-    """torch+numpy mirror of the FPN trunk + per-level RPN + collect;
-    returns (exp_rois, pyr_np [P2..P5 HWC])."""
-    cs = TM.multilevel_body(params, image, cfg.arch)
-    pyr = TM.fpn_neck(params, cs, cfg.arch)  # P2..P5 torch NCHW
-    pyr_np = [p[0].permute(1, 2, 0).detach().numpy() for p in pyr]
-    p6 = pyr_np[-1][::2, ::2, :]
-    rpn_feats = pyr_np + [p6]
-
-    cand = []
-    for lvl, feat in zip(range(2, 7), rpn_feats):
-        ft = torch.from_numpy(feat).permute(2, 0, 1)[None]
-        cls, bbox = TM.rpn_head(params, ft, "_fpn2")
-        cls_np = cls[0].permute(1, 2, 0).detach().numpy()
-        bbox_np = bbox[0].permute(1, 2, 0).detach().numpy()
-        anchors = shifted_anchors(
-            cls_np.shape[0], cls_np.shape[1], float(2 ** lvl),
-            (32.0 * 2 ** (lvl - 2),), (0.5, 1.0, 2.0),
-        )
-        props, scores = np_generate_proposals(
-            cls_np, bbox_np, anchors, float(h), float(w), im_scale,
-            cfg.rpn.pre_nms_top_n, cfg.rpn.post_nms_top_n,
-            cfg.rpn.nms_thresh, 0.0,
-        )
-        cand.append((props, scores))
-    # collect: global top-N by score (reference collect, torch.sort desc)
-    all_props = np.vstack([c[0] for c in cand])
-    all_scores = np.concatenate([c[1] for c in cand])
-    order = np.argsort(-all_scores, kind="stable")[: cfg.rpn.post_nms_top_n]
-    return all_props[order], pyr_np
-
-
-def _fpn_mirror_roi_align(pyr_np, rois, size, sampling_ratio=2):
-    """Level-routed multilevel RoIAlign via the C++-semantics transcription."""
-    lvls = TM.np_map_levels(rois)
-    roi_feats = np.zeros((len(rois), 256, size, size), np.float32)
-    for lv in range(2, 6):
-        idx = np.where(lvls == lv)[0]
-        if len(idx) == 0:
-            continue
-        feats_chw = pyr_np[lv - 2].transpose(2, 0, 1).astype(np.float64)
-        roi_feats[idx] = np_roi_align(
-            feats_chw, rois[idx], size, size, 1.0 / 2 ** lv, sampling_ratio
-        ).astype(np.float32)
-    return roi_feats
-
-
 def test_full_stack_fpn_faster_rcnn():
     """FPN path: per-level RPN with shared head, collect, multilevel
     RoIAlign routing, MLP head — vs the torch+numpy mirror."""
@@ -215,7 +168,7 @@ def test_full_stack_fpn_faster_rcnn():
     fwd = jax.jit(make_inference_fn(cfg, tcfg))
     out = fwd(params, image, jnp.float32(im_scale), jnp.float32(h), jnp.float32(w))
 
-    exp_rois, pyr_np = _fpn_mirror_proposals(cfg, params, image, h, w, im_scale)
+    exp_rois, pyr_np = TM.fpn_mirror_proposals(cfg, params, image, h, w, im_scale)
 
     got_valid = np.asarray(out.roi_valid)
     got_rois = np.asarray(out.rois)[got_valid]
@@ -223,7 +176,7 @@ def test_full_stack_fpn_faster_rcnn():
     np.testing.assert_allclose(got_rois, exp_rois, rtol=1e-3, atol=0.05)
 
     # box branch: per-roi level routing + RoIAlign + MLP + predictors
-    roi_feats = _fpn_mirror_roi_align(pyr_np, exp_rois, 7)
+    roi_feats = TM.fpn_mirror_roi_align(pyr_np, exp_rois, 7)
     box_feats = TM.mlp_head(params, roi_feats)
     exp_cls, _ = TM.box_outputs(params, box_feats)
 
@@ -257,13 +210,13 @@ def test_full_stack_fpn_mask_branch(preset):
     fwd = jax.jit(make_inference_fn(cfg, tcfg))
     out = fwd(params, image, jnp.float32(im_scale), jnp.float32(h), jnp.float32(w))
 
-    exp_rois, pyr_np = _fpn_mirror_proposals(cfg, params, image, h, w, im_scale)
+    exp_rois, pyr_np = TM.fpn_mirror_proposals(cfg, params, image, h, w, im_scale)
     got_valid = np.asarray(out.roi_valid)
     got_rois = np.asarray(out.rois)[got_valid]
     assert len(got_rois) == len(exp_rois)
     np.testing.assert_allclose(got_rois, exp_rois, rtol=1e-3, atol=0.05)
 
-    roi_feats = _fpn_mirror_roi_align(pyr_np, exp_rois, 7)
+    roi_feats = TM.fpn_mirror_roi_align(pyr_np, exp_rois, 7)
     box_feats = TM.mlp_head(params, roi_feats)
     exp_cls, _ = TM.box_outputs(params, box_feats)
     got_cls = np.asarray(out.cls_scores)[got_valid]
@@ -280,7 +233,7 @@ def test_full_stack_fpn_mask_branch(preset):
     got_masks = np.asarray(out.masks)[ok]
 
     mask_rois = det_boxes * im_scale
-    mask_feats = _fpn_mirror_roi_align(pyr_np, mask_rois, cfg.mask.roi_size)
+    mask_feats = TM.fpn_mirror_roi_align(pyr_np, mask_rois, cfg.mask.roi_size)
     probs = TM.mask_probs_fpn(params, mask_feats)  # (K, 81, M, M)
     exp_masks = np.stack(
         [probs[i, det_classes[i]] for i in range(len(det_classes))]

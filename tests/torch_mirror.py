@@ -59,13 +59,15 @@ def c4_body(params, image_hwc, arch="resnet50"):
     return x  # NCHW
 
 
-def rpn_head(params, feats_nchw, prefix=""):
+def rpn_head(params, feats_nchw, prefix="", return_hidden=False):
     w = t(params[f"conv_rpn{prefix}_w"]).permute(3, 2, 0, 1)
     h = F.relu(F.conv2d(feats_nchw, w, bias=t(params[f"conv_rpn{prefix}_b"]), padding=1))
     wc = t(params[f"rpn_cls_logits{prefix}_w"]).permute(3, 2, 0, 1)
     cls = torch.sigmoid(F.conv2d(h, wc, bias=t(params[f"rpn_cls_logits{prefix}_b"])))
     wb = t(params[f"rpn_bbox_pred{prefix}_w"]).permute(3, 2, 0, 1)
     bbox = F.conv2d(h, wb, bias=t(params[f"rpn_bbox_pred{prefix}_b"]))
+    if return_hidden:
+        return cls, bbox, h
     return cls, bbox
 
 
@@ -145,12 +147,177 @@ def mask_probs_fpn(params, roi_feats_nchw):
     return torch.sigmoid(logits).detach().numpy()
 
 
+def mask_probs_c4(params, roi_feats_nchw, arch="resnet50"):
+    """reference mask_head.forward with the shared res5 trunk ("upshare",
+    detector.py:84-98): res5 stage -> 2x2/2 deconv -> 1x1 logits -> sigmoid.
+    Returns (K, 81, M, M) numpy."""
+    trunk = stage(params, torch.from_numpy(roi_feats_nchw).float(), "res5",
+                  STAGE_BLOCKS[arch][3], 2)
+    w = t(params["conv5_mask_w"])  # (2048, 256, 2, 2) ConvTranspose layout
+    x = F.relu(F.conv_transpose2d(trunk, w, t(params["conv5_mask_b"]), stride=2))
+    wl = t(params["mask_fcn_logits_w"]).permute(3, 2, 0, 1)
+    logits = F.conv2d(x, wl, t(params["mask_fcn_logits_b"]))
+    return torch.sigmoid(logits).detach().numpy()
+
+
 def np_map_levels(rois, k_min=2, k_max=5):
     w = rois[:, 2] - rois[:, 0] + 1
     h = rois[:, 3] - rois[:, 1] + 1
     s = np.sqrt(w * h)
     lv = np.floor(4 + np.log2(s / 224.0 + 1e-6))
     return np.clip(lv, k_min, k_max).astype(np.int32)
+
+
+def fpn_mirror_proposals(cfg, params, image, h, w, im_scale, pyr_np=None):
+    """torch+numpy mirror of the FPN trunk + per-level RPN + collect
+    (reference detector.py:153-189 + collect_and_distribute...py);
+    returns (exp_rois, pyr_np [P2..P5 HWC]). Pass `pyr_np` to reuse an
+    already-computed pyramid."""
+    from detectorch_tpu.ops.anchors import shifted_anchors
+
+    if pyr_np is None:
+        cs = multilevel_body(params, image, cfg.arch)
+        pyr = fpn_neck(params, cs, cfg.arch)  # P2..P5 torch NCHW
+        pyr_np = [p[0].permute(1, 2, 0).detach().numpy() for p in pyr]
+    p6 = pyr_np[-1][::2, ::2, :]
+    rpn_feats = pyr_np + [p6]
+
+    cand = []
+    for lvl, feat in zip(range(2, 7), rpn_feats):
+        ft = torch.from_numpy(feat).permute(2, 0, 1)[None]
+        cls, bbox = rpn_head(params, ft, "_fpn2")
+        cls_np = cls[0].permute(1, 2, 0).detach().numpy()
+        bbox_np = bbox[0].permute(1, 2, 0).detach().numpy()
+        anchors = shifted_anchors(
+            cls_np.shape[0], cls_np.shape[1], float(2 ** lvl),
+            (32.0 * 2 ** (lvl - 2),), (0.5, 1.0, 2.0),
+        )
+        props, scores = np_generate_proposals(
+            cls_np, bbox_np, anchors, float(h), float(w), im_scale,
+            cfg.rpn.pre_nms_top_n, cfg.rpn.post_nms_top_n,
+            cfg.rpn.nms_thresh, cfg.rpn.min_size,
+        )
+        cand.append((props, scores))
+    # collect: global top-N by score (reference collect, torch.sort desc)
+    all_props = np.vstack([c[0] for c in cand])
+    all_scores = np.concatenate([c[1] for c in cand])
+    order = np.argsort(-all_scores, kind="stable")[: cfg.rpn.post_nms_top_n]
+    return all_props[order], pyr_np
+
+
+def fpn_mirror_roi_align(pyr_np, rois, size, sampling_ratio=2):
+    """Level-routed multilevel RoIAlign via the C++-semantics transcription."""
+    lvls = np_map_levels(rois)
+    roi_feats = np.zeros((len(rois), 256, size, size), np.float32)
+    for lv in range(2, 6):
+        idx = np.where(lvls == lv)[0]
+        if len(idx) == 0:
+            continue
+        feats_chw = pyr_np[lv - 2].transpose(2, 0, 1).astype(np.float64)
+        roi_feats[idx] = np_roi_align(
+            feats_chw, rois[idx], size, size, 1.0 / 2 ** lv, sampling_ratio
+        ).astype(np.float32)
+    return roi_feats
+
+
+def c4_mirror_proposals(cfg, params, image, h, w, im_scale, feats_np=None):
+    """torch+numpy mirror of the C4 trunk + RPN (reference
+    detector.py:129-152 + generate_proposals.py); returns
+    (exp_rois, c4_feats_chw numpy). Pass `feats_np` (C,H,W) to reuse an
+    already-computed trunk."""
+    from detectorch_tpu.ops.anchors import shifted_anchors
+
+    if feats_np is None:
+        feats = c4_body(params, image, cfg.arch)  # NCHW torch
+    else:
+        feats = torch.from_numpy(feats_np).float()[None]
+    cls_prob, bbox_pred = rpn_head(params, feats, "")
+    cls_np = cls_prob[0].permute(1, 2, 0).detach().numpy()
+    bbox_np = bbox_pred[0].permute(1, 2, 0).detach().numpy()
+    anchors = shifted_anchors(
+        cls_np.shape[0], cls_np.shape[1], 16.0,
+        tuple(cfg.anchors.sizes), tuple(cfg.anchors.aspect_ratios),
+    )
+    props, _ = np_generate_proposals(
+        cls_np, bbox_np, anchors, float(h), float(w), im_scale,
+        cfg.rpn.pre_nms_top_n, cfg.rpn.post_nms_top_n,
+        cfg.rpn.nms_thresh, cfg.rpn.min_size,
+    )
+    return props, feats[0].detach().numpy()
+
+
+def mirror_box_results(scores, boxes, num_classes=81, score_thresh=0.05,
+                       overlap_thresh=0.5, max_detections_per_img=100):
+    """Transcription of the reference box_results_with_nms_and_limit
+    (result_utils.py:96-168): per-class threshold + NMS, then the global
+    >=image_thresh cap. Returns the per-class list `cls_boxes` (each (n, 5)
+    [x1 y1 x2 y2 score]) — class-major, the order the reference feeds the
+    mask branch in."""
+    cls_boxes = [np.zeros((0, 5), np.float32) for _ in range(num_classes)]
+    for j in range(1, num_classes):
+        inds = np.where(scores[:, j] > score_thresh)[0]
+        dets_j = np.hstack(
+            (boxes[inds, j * 4:(j + 1) * 4], scores[inds, j, np.newaxis])
+        ).astype(np.float32, copy=False)
+        keep = np_nms(dets_j, overlap_thresh)
+        cls_boxes[j] = dets_j[keep, :]
+    if max_detections_per_img > 0:
+        image_scores = np.hstack(
+            [cls_boxes[j][:, -1] for j in range(1, num_classes)]
+        )
+        if len(image_scores) > max_detections_per_img:
+            image_thresh = np.sort(image_scores)[-max_detections_per_img]
+            for j in range(1, num_classes):
+                keep = np.where(cls_boxes[j][:, -1] >= image_thresh)[0]
+                cls_boxes[j] = cls_boxes[j][keep, :]
+    return cls_boxes
+
+
+def mirror_segm_results(cls_boxes, masks, ref_boxes, im_h, im_w,
+                        num_classes=81, M=14, thresh_binarize=0.5):
+    """Transcription of the reference segm_results (result_utils.py:170-228):
+    1px zero-pad, expand box by (M+2)/M, cv2 bilinear resize, binarize at
+    0.5, paste, RLE-encode. `masks` is (K, num_classes, M, M) in class-major
+    detection order; `ref_boxes` the matching (K, 4) boxes in original-image
+    coords. Returns per-class lists of RLE dicts."""
+    import cv2
+
+    from detectorch_tpu.eval import rle as rle_mod
+
+    cls_segms = [[] for _ in range(num_classes)]
+    mask_ind = 0
+    scale = (M + 2.0) / M
+    w_half = (ref_boxes[:, 2] - ref_boxes[:, 0]) * 0.5 * scale
+    h_half = (ref_boxes[:, 3] - ref_boxes[:, 1]) * 0.5 * scale
+    x_c = (ref_boxes[:, 2] + ref_boxes[:, 0]) * 0.5
+    y_c = (ref_boxes[:, 3] + ref_boxes[:, 1]) * 0.5
+    ref_boxes = np.stack(
+        [x_c - w_half, y_c - h_half, x_c + w_half, y_c + h_half], axis=1
+    ).astype(np.int32)
+    padded_mask = np.zeros((M + 2, M + 2), dtype=np.float32)
+    for j in range(1, num_classes):
+        segms = []
+        for _ in range(cls_boxes[j].shape[0]):
+            padded_mask[1:-1, 1:-1] = masks[mask_ind, j, :, :]
+            ref_box = ref_boxes[mask_ind, :]
+            w = int(np.maximum(ref_box[2] - ref_box[0] + 1, 1))
+            h = int(np.maximum(ref_box[3] - ref_box[1] + 1, 1))
+            mask = cv2.resize(padded_mask, (w, h))
+            mask = np.array(mask > thresh_binarize, dtype=np.uint8)
+            im_mask = np.zeros((im_h, im_w), dtype=np.uint8)
+            x_0 = max(ref_box[0], 0)
+            x_1 = min(ref_box[2] + 1, im_w)
+            y_0 = max(ref_box[1], 0)
+            y_1 = min(ref_box[3] + 1, im_h)
+            im_mask[y_0:y_1, x_0:x_1] = mask[
+                (y_0 - ref_box[1]):(y_1 - ref_box[1]),
+                (x_0 - ref_box[0]):(x_1 - ref_box[0])
+            ]
+            segms.append(rle_mod.encode(im_mask))
+            mask_ind += 1
+        cls_segms[j] = segms
+    assert mask_ind == masks.shape[0]
+    return cls_segms
 
 
 def postprocess(scores, boxes_decoded, num_classes=81, score_thresh=0.05,
