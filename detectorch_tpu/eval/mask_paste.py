@@ -65,13 +65,34 @@ def segm_results(
     """masks: (K, M, M) float per-detection class-specific probabilities;
     boxes: (K, 4) xyxy in original-image coords. Returns K RLEs (or uint8
     masks when encode=False), in detection order."""
+    import cv2
+
     m = mask_resolution
     scale = (m + 2.0) / m
     ref_boxes = expand_boxes_np(boxes.astype(np.float64), scale).astype(np.int32)
     padded = np.zeros((m + 2, m + 2), np.float32)
     out = []
     for i in range(len(masks)):
+        if not encode:
+            padded[1:-1, 1:-1] = masks[i]
+            out.append(paste_mask(padded, ref_boxes[i], im_h, im_w, thresh))
+            continue
+        # RLE path: resize/binarize the box patch, then strip-encode it in
+        # place (encode_pasted) — never materialising the full canvas
         padded[1:-1, 1:-1] = masks[i]
-        im_mask = paste_mask(padded, ref_boxes[i], im_h, im_w, thresh)
-        out.append(rle_mod.encode(im_mask) if encode else im_mask)
+        rb = ref_boxes[i]
+        w = max(int(rb[2] - rb[0] + 1), 1)
+        h = max(int(rb[3] - rb[1] + 1), 1)
+        binary = (cv2.resize(padded, (w, h)) > thresh).astype(np.uint8)
+        x0 = max(rb[0], 0)
+        x1 = min(rb[2] + 1, im_w)
+        y0 = max(rb[1], 0)
+        y1 = min(rb[3] + 1, im_h)
+        if x1 > x0 and y1 > y0:
+            crop = binary[(y0 - rb[1]):(y1 - rb[1]), (x0 - rb[0]):(x1 - rb[0])]
+            out.append(rle_mod.encode_pasted(crop, int(x0), int(y0), im_h, im_w))
+        else:
+            out.append(rle_mod.encode_pasted(
+                np.zeros((0, 0), np.uint8), 0, 0, im_h, im_w
+            ))
     return out

@@ -121,6 +121,40 @@ def encode(mask: np.ndarray) -> RLE:
     return {"size": [int(h), int(w)], "counts": counts_to_string(encode_counts(mask))}
 
 
+def encode_pasted(binary: np.ndarray, x0: int, y0: int, im_h: int, im_w: int) -> RLE:
+    """RLE of a (bh, bw) binary patch pasted at (x0, y0) into an otherwise
+    zero (im_h, im_w) canvas — WITHOUT materialising the canvas.
+
+    Column-major runs touch only the patch's own columns; everything left of
+    x0 is one leading zero-run and everything right of x0+bw one trailing
+    zero-run, both merged arithmetically. Byte-identical to
+    ``encode(canvas)`` (tested) at O(im_h*bw) instead of O(im_h*im_w) — this
+    is the hot path of mask pasting (segm_results runs it per detection)."""
+    bh, bw = binary.shape
+    if bh == 0 or bw == 0:
+        return {"size": [int(im_h), int(im_w)],
+                "counts": counts_to_string([im_h * im_w])}
+    if _native is not None:
+        return {
+            "size": [int(im_h), int(im_w)],
+            "counts": _native.encode_pasted(
+                np.ascontiguousarray(binary, np.uint8),
+                int(x0), int(y0), int(im_h), int(im_w),
+            ),
+        }
+    strip = np.zeros((im_h, bw), np.uint8)
+    strip[y0:y0 + bh] = binary
+    counts = encode_counts(strip)
+    counts[0] += x0 * im_h                  # leading zero columns
+    tail = (im_w - x0 - bw) * im_h          # trailing zero columns
+    if tail:
+        if len(counts) % 2 == 0:            # last run is a 1-run
+            counts.append(tail)
+        else:
+            counts[-1] += tail
+    return {"size": [int(im_h), int(im_w)], "counts": counts_to_string(counts)}
+
+
 def decode(rle: RLE) -> np.ndarray:
     h, w = rle["size"]
     counts = rle["counts"]

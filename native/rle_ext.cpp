@@ -153,6 +153,77 @@ PyObject* counts_to_string(PyObject*, PyObject* args) {
   return PyUnicode_FromStringAndSize(s.data(), s.size());
 }
 
+std::string runs_to_string(const std::vector<int64_t>& c) {
+  // maskApi rleToString: signed 5-bit varint, 2nd-order diffs from index 3
+  std::string s;
+  s.reserve(c.size() * 3);
+  for (size_t i = 0; i < c.size(); i++) {
+    int64_t x = c[i];
+    if (i > 2) x -= c[i - 2];
+    bool more = true;
+    while (more) {
+      int64_t ch = x & 0x1f;
+      x >>= 5;
+      more = (ch & 0x10) ? (x != -1) : (x != 0);
+      if (more) ch |= 0x20;
+      s.push_back(static_cast<char>(ch + 48));
+    }
+  }
+  return s;
+}
+
+PyObject* encode_pasted(PyObject*, PyObject* args) {
+  // encode_pasted(patch_uint8 (bh, bw), x0, y0, im_h, im_w) -> ascii RLE of
+  // the patch pasted into an otherwise-zero (im_h, im_w) canvas, walked in
+  // column-major order without materialising the canvas (the hot loop of
+  // mask pasting; reference result_utils.py:218-221 pycocotools encode).
+  PyObject* patch_obj;
+  long long x0, y0, im_h, im_w;
+  if (!PyArg_ParseTuple(args, "OLLLL", &patch_obj, &x0, &y0, &im_h, &im_w))
+    return nullptr;
+  PyArrayObject* patch = reinterpret_cast<PyArrayObject*>(
+      PyArray_FROM_OTF(patch_obj, NPY_UINT8, NPY_ARRAY_IN_ARRAY));
+  if (!patch) return nullptr;
+  if (PyArray_NDIM(patch) != 2) {
+    Py_DECREF(patch);
+    PyErr_SetString(PyExc_ValueError, "patch must be 2-D");
+    return nullptr;
+  }
+  const int64_t bh = PyArray_DIM(patch, 0);
+  const int64_t bw = PyArray_DIM(patch, 1);
+  const uint8_t* p = static_cast<const uint8_t*>(PyArray_DATA(patch));
+  std::vector<int64_t> counts;
+  counts.reserve(static_cast<size_t>(bw) * 4 + 2);
+  // runs alternate 0s/1s starting with a 0-run; counts.size() odd  ->
+  // currently in a 0-run, even -> in a 1-run
+  int64_t zero_run = x0 * im_h + y0;  // zero columns + lead-in of column 0
+  for (int64_t j = 0; j < bw; j++) {
+    int64_t i = 0;
+    while (i < bh) {
+      uint8_t v = p[i * bw + j];
+      int64_t start = i;
+      while (i < bh && p[i * bw + j] == v) i++;
+      int64_t run = i - start;
+      if (v == 0) {
+        zero_run += run;
+      } else if (zero_run == 0 && !counts.empty()) {
+        counts.back() += run;             // contiguous across a column wrap
+      } else {
+        counts.push_back(zero_run);       // may be 0 (leading-1 convention)
+        counts.push_back(run);
+        zero_run = 0;
+      }
+    }
+    // gap between this column's end and the next column's patch start
+    zero_run += (im_h - y0 - bh) + (j + 1 < bw ? y0 : 0);
+  }
+  zero_run += (im_w - x0 - bw) * im_h;    // trailing zero columns
+  if (zero_run > 0 || counts.empty()) counts.push_back(zero_run);
+  Py_DECREF(patch);
+  std::string s = runs_to_string(counts);
+  return PyUnicode_FromStringAndSize(s.data(), s.size());
+}
+
 PyObject* string_to_counts(PyObject*, PyObject* args) {
   const char* s;
   Py_ssize_t len;
@@ -192,6 +263,8 @@ PyMethodDef methods[] = {
     {"area", area, METH_VARARGS, "area(counts) -> int"},
     {"counts_to_string", counts_to_string, METH_VARARGS,
      "counts -> COCO compressed ascii string"},
+    {"encode_pasted", encode_pasted, METH_VARARGS,
+     "encode_pasted(patch, x0, y0, im_h, im_w) -> ascii RLE of pasted patch"},
     {"string_to_counts", string_to_counts, METH_VARARGS,
      "COCO compressed ascii string -> int64 counts"},
     {nullptr, nullptr, 0, nullptr},

@@ -154,3 +154,36 @@ def test_merge_union(rng):
     b = random_mask(rng, 12, 12)
     merged = R.merge_union([R.encode(a), R.encode(b)])
     np.testing.assert_array_equal(R.decode(merged), np.logical_or(a, b).astype(np.uint8))
+
+
+def test_encode_pasted_matches_canvas_encode(rng):
+    """Strip/native paste-encode must be byte-identical to encoding the full
+    pasted canvas (the hot path of segm_results; result_utils.py:218-221)."""
+    for _ in range(100):
+        im_h, im_w = rng.randint(5, 100), rng.randint(5, 100)
+        bh, bw = rng.randint(1, im_h + 1), rng.randint(1, im_w + 1)
+        x0 = rng.randint(0, im_w - bw + 1)
+        y0 = rng.randint(0, im_h - bh + 1)
+        patch = (rng.rand(bh, bw) > rng.uniform(0.02, 0.98)).astype(np.uint8)
+        canvas = np.zeros((im_h, im_w), np.uint8)
+        canvas[y0:y0 + bh, x0:x0 + bw] = patch
+        assert R.encode(canvas) == R.encode_pasted(patch, x0, y0, im_h, im_w)
+    # edges: full-canvas patch, all-ones (column-wrap run merging), empty
+    full = np.ones((7, 4), np.uint8)
+    assert R.encode(full) == R.encode_pasted(full, 0, 0, 7, 4)
+    assert R.encode(np.zeros((6, 9), np.uint8)) == R.encode_pasted(
+        np.zeros((0, 0), np.uint8), 0, 0, 6, 9
+    )
+
+
+def test_encode_pasted_python_fallback(rng, monkeypatch):
+    monkeypatch.setattr(R, "_native", None)
+    for _ in range(30):
+        im_h, im_w = rng.randint(5, 60), rng.randint(5, 60)
+        bh, bw = rng.randint(1, im_h + 1), rng.randint(1, im_w + 1)
+        x0 = rng.randint(0, im_w - bw + 1)
+        y0 = rng.randint(0, im_h - bh + 1)
+        patch = (rng.rand(bh, bw) > 0.5).astype(np.uint8)
+        canvas = np.zeros((im_h, im_w), np.uint8)
+        canvas[y0:y0 + bh, x0:x0 + bw] = patch
+        assert R.encode(canvas) == R.encode_pasted(patch, x0, y0, im_h, im_w)
