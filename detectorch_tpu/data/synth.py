@@ -82,6 +82,7 @@ def build_synth_coco(
     max_objects: int = 5,
     crowd_every: int = 8,
     archetypes: Sequence = ARCHETYPES,
+    img_format: str = "png",
 ) -> Tuple[str, str]:
     """Generate images + annotations under `root`.
 
@@ -97,7 +98,8 @@ def build_synth_coco(
     manifest = os.path.join(root, "manifest.json")
     spec = {"n_images": n_images, "height": height, "width": width,
             "seed": seed, "max_objects": max_objects,
-            "crowd_every": crowd_every, "version": 4}
+            "crowd_every": crowd_every, "img_format": img_format,
+            "version": 4}
     if os.path.exists(manifest):
         with open(manifest) as f:
             if json.load(f) == spec:
@@ -169,7 +171,7 @@ def build_synth_coco(
             tex += wave[:, :, None].astype(np.float32) * rng.uniform(0.3, 1.0, 3)
         im += tex
 
-        fname = f"synth_{idx:05d}.png"
+        fname = f"synth_{idx:05d}.{img_format}"
         cv2.imwrite(
             os.path.join(img_dir, fname),
             np.clip(im, 0, 255).astype(np.uint8)[:, :, ::-1],  # RGB->BGR

@@ -149,9 +149,9 @@ class BatchedInferenceEngine:
     def preprocess(self, im_rgb, proposals=None):
         return self._single.preprocess(im_rgb, proposals)
 
-    def run_batch(self, samples):
-        """samples: list of (args, oh, ow) from preprocess(), all same bucket.
-        Returns list of collected result dicts (same order)."""
+    def submit_batch(self, samples):
+        """Asynchronously dispatch one padded batch. samples: list of
+        (args, oh, ow) from preprocess(), all same shape bucket."""
         n = len(samples)
         b = self.batch_size
         # pad the tail batch by repeating the last sample
@@ -163,16 +163,53 @@ class BatchedInferenceEngine:
 
             sh = NamedSharding(self.mesh, P("data"))
             batch = [jax.device_put(a, sh) for a in batch]
-        out = self._fn(tuple(batch[0].shape[1:]))(self.params, *batch)
+        return self._fn(tuple(batch[0].shape[1:]))(self.params, *batch)
+
+    def finalize_batch(self, out, samples):
+        """Bulk-fetch one batch's outputs (a handful of device->host
+        transfers for the whole batch — NOT per-image tree slicing, which
+        costs a tunnel round trip per field per image), re-run any
+        Pallas-slab-overflow images through the exact program, and collect
+        host-side results (mask paste + RLE)."""
+        n = len(samples)
+        dets = out.detections
+        boxes = np.asarray(dets.boxes)
+        scores = np.asarray(dets.scores)
+        classes = np.asarray(dets.classes)
+        valid = np.asarray(dets.valid)
+        masks = np.asarray(out.masks) if out.masks is not None else None
+        exact = (
+            np.asarray(out.roi_align_exact)
+            if self.cfg.use_fpn and self.cfg.use_pallas_roi_align
+            else np.ones(len(valid), bool)
+        )
         results = []
         for i in range(n):
-            one = jax.tree.map(lambda x: x[i], out)
-            # exactness check: re-run flagged images through the exact
-            # single-image program (rare — extreme-aspect rois only)
-            results.append(
-                self._single.finalize(one, samples[i][0], samples[i][1], samples[i][2])
-            )
+            args, oh, ow = samples[i]
+            if not bool(exact[i]):
+                # rare: roi footprint overflowed the Pallas slab — re-run
+                # this image through the exact-gather program
+                results.append(
+                    self._single.finalize(self._single.submit(args), args, oh, ow)
+                )
+                continue
+            ok = valid[i]
+            result = {
+                "boxes": boxes[i][ok],
+                "scores": scores[i][ok],
+                "classes": classes[i][ok],
+            }
+            if masks is not None:
+                result["rles"] = mask_paste.segm_results(
+                    masks[i][ok], result["boxes"], int(oh), int(ow),
+                    self.cfg.mask.resolution,
+                )
+            results.append(result)
         return results
+
+    def run_batch(self, samples):
+        """Synchronous submit+finalize (see submit_batch/finalize_batch)."""
+        return self.finalize_batch(self.submit_batch(samples), samples)
 
 
 def evaluate_dataset(
@@ -219,16 +256,27 @@ def evaluate_dataset(
     if batch_size > 1:
         batched = BatchedInferenceEngine(cfg, test_cfg, params, batch_size, mesh)
         buckets: Dict[tuple, list] = {}
+        pending = None  # (group, device_out) — 1-deep batch pipeline: host
+        # mask-paste/RLE of batch i overlaps device compute of batch i+1
+
+        def _flush(group):
+            nonlocal pending
+            out = batched.submit_batch([g[1] for g in group])
+            if pending is not None:
+                res = batched.finalize_batch(pending[1], [g[1] for g in pending[0]])
+                results_iter.extend((g[0], r) for g, r in zip(pending[0], res))
+            pending = (group, out)
+
         for entry, args, oh, ow in loader:
             key = tuple(np.asarray(args[1]).shape)
             buckets.setdefault(key, []).append((entry, (args, oh, ow)))
             if len(buckets[key]) == batch_size:
-                group = buckets.pop(key)
-                res = batched.run_batch([g[1] for g in group])
-                results_iter.extend((g[0], r) for g, r in zip(group, res))
+                _flush(buckets.pop(key))
         for group in buckets.values():
-            res = batched.run_batch([g[1] for g in group])
-            results_iter.extend((g[0], r) for g, r in zip(group, res))
+            _flush(group)
+        if pending is not None:
+            res = batched.finalize_batch(pending[1], [g[1] for g in pending[0]])
+            results_iter.extend((g[0], r) for g, r in zip(pending[0], res))
     else:
         pending = None  # (entry, device_out, args, oh, ow) — 1-deep pipeline
         for i, (entry, args, oh, ow) in enumerate(loader):
@@ -262,6 +310,8 @@ def evaluate_dataset(
             rate = (i + 1) / (time.time() - t0)
             print(f"  {i+1}/{len(roidb)} ({rate:.2f} img/s)", flush=True)
 
+    infer_seconds = time.time() - t0  # preprocess+device+paste+RLE+collect
+
     def _eval(results, iou_type):
         if not results:
             return None
@@ -287,5 +337,5 @@ def evaluate_dataset(
     segm_stats = _eval(segm_results_all, "segm") if cfg.use_mask else None
     return bbox_stats, segm_stats, {
         "bbox": bbox_results, "segm": segm_results_all,
-        "images_per_sec": len(roidb) / (time.time() - t0),
+        "images_per_sec": len(roidb) / infer_seconds,
     }

@@ -181,8 +181,8 @@ def box_voting(top_boxes, top_scores, all_boxes, all_scores, all_valid,
 
     Each kept box is replaced by the score-weighted average of all candidate
     boxes overlapping it with IoU >= thresh. Scoring methods: ID (keep),
-    AVG, IOU_AVG, GENERALIZED_AVG, QUASI_SUM (TEMP_AVG omitted — unused by
-    Detectron configs).
+    TEMP_AVG, AVG, IOU_AVG, GENERALIZED_AVG, QUASI_SUM — the full reference
+    enumeration.
 
     top_boxes (K, 4), all_boxes (N, 4) with validity mask. Returns
     (voted_boxes (K, 4), voted_scores (K,)).
@@ -210,6 +210,18 @@ def box_voting(top_boxes, top_scores, all_boxes, all_scores, all_valid,
     elif scoring_method == "QUASI_SUM":
         cnt = jnp.maximum(jnp.sum(vote, axis=1), 1)
         scores = jnp.sum(w, axis=1) / cnt.astype(jnp.float32) ** beta
+    elif scoring_method == "TEMP_AVG":
+        # reference boxes.py:301-312: treat each voter's score as a 2-class
+        # distribution [p, 1-p], temperature-smooth it, average P(class).
+        # exp(log(p/pmax)/beta) == (p/pmax)**(1/beta), branch-free here.
+        p = all_scores[None, :]
+        q = 1.0 - p
+        pm = jnp.maximum(p, q)
+        a = (p / pm) ** (1.0 / beta)
+        b = (q / pm) ** (1.0 / beta)
+        pt = a / (a + b)
+        cnt = jnp.maximum(jnp.sum(vote, axis=1), 1)
+        scores = jnp.sum(jnp.where(vote, pt, 0.0), axis=1) / cnt
     else:
         raise NotImplementedError(scoring_method)
     return voted, scores

@@ -32,6 +32,38 @@ def test_box_voting_avg_scoring():
     np.testing.assert_allclose(float(scores[0]), 0.6, rtol=1e-5)
 
 
+def test_box_voting_temp_avg_matches_reference_formula():
+    """TEMP_AVG scoring (reference boxes.py:301-312): temperature-smoothed
+    2-class probability averaging, checked against a direct numpy
+    transcription of the reference loop."""
+    rng = np.random.RandomState(3)
+    top = np.array([[0, 0, 10, 10], [40, 40, 60, 60]], np.float32)
+    allb = np.array(
+        [[0, 0, 10, 10], [1, 1, 11, 11], [42, 41, 61, 62], [40, 40, 60, 60]],
+        np.float32,
+    )
+    alls = rng.uniform(0.05, 0.95, 4).astype(np.float32)
+    valid = np.ones(4, bool)
+    for beta in (1.0, 0.7):
+        _, scores = B.box_voting(
+            jnp.asarray(top), jnp.asarray([0.9, 0.8]), allb, alls, valid,
+            thresh=0.5, scoring_method="TEMP_AVG", beta=beta,
+        )
+        # reference transcription
+        ious = np.asarray(B.bbox_overlaps(top, allb))
+        for k in range(2):
+            inds = np.where(ious[k] >= 0.5)[0]
+            ws = alls[inds]
+            P = np.vstack((ws, 1.0 - ws))
+            P_max = np.max(P, axis=0)
+            X = np.log(P / P_max)
+            X_exp = np.exp(X / beta)
+            P_temp = X_exp / np.sum(X_exp, axis=0)
+            np.testing.assert_allclose(
+                float(scores[k]), P_temp[0].mean(), rtol=1e-5
+            )
+
+
 def test_evaluate_box_proposals_perfect_recall():
     gts = [np.array([[10, 10, 50, 50], [60, 60, 90, 90]], np.float64)]
     props = [np.array([[10, 10, 50, 50], [60, 60, 90, 90], [0, 0, 5, 5]], np.float64)]

@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Run the full-pipeline AP-parity matrix (all 7 presets) and record results.
+
+For each preset this runs our `evaluate_dataset` and the complete torch+numpy
+reference mirror (tests/ap_harness.py) on the deterministic synthetic COCO
+set, and records both AP vectors and their max absolute delta into
+AP_PARITY.json plus a markdown table on stdout.
+
+This is the closest obtainable proxy to the reference's README gate
+(README.md:24-32, "AP within 0.2") given that no real Detectron weights or
+COCO images exist in this environment.
+
+Usage:  python tools/ap_parity.py [--out AP_PARITY.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="AP_PARITY.json")
+    args = p.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from tests.ap_harness import prepare_dataset
+    from tests.test_ap_parity import ALL_PRESETS, run_preset_parity
+
+    dataset, proposals_file = prepare_dataset()
+    rows = []
+    for preset in ALL_PRESETS:
+        t0 = time.time()
+        r = run_preset_parity(preset, dataset, proposals_file)
+        row = {
+            "preset": preset,
+            "bbox_ap_ours": float(r["ours_bbox"][0]),
+            "bbox_ap_mirror": float(r["mirror_bbox"][0]),
+            "bbox_max_delta": float(np.max(np.abs(r["ours_bbox"] - r["mirror_bbox"]))),
+            "seconds": round(time.time() - t0, 1),
+        }
+        if r["ours_segm"] is not None:
+            row["segm_ap_ours"] = float(r["ours_segm"][0])
+            row["segm_ap_mirror"] = float(r["mirror_segm"][0])
+            row["segm_max_delta"] = float(
+                np.max(np.abs(r["ours_segm"] - r["mirror_segm"]))
+            )
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump({"rows": rows, "stats_compared": 12,
+                   "tolerance_gate": 2e-4}, f, indent=1)
+
+    print("\n| preset | box AP (ours/mirror) | segm AP | max |Δ| |")
+    print("|---|---|---|---|")
+    for r in rows:
+        segm = (
+            f"{r['segm_ap_ours']:.4f} / {r['segm_ap_mirror']:.4f}"
+            if "segm_ap_ours" in r else "—"
+        )
+        d = max(r["bbox_max_delta"], r.get("segm_max_delta", 0.0))
+        print(f"| {r['preset']} | {r['bbox_ap_ours']:.4f} / "
+              f"{r['bbox_ap_mirror']:.4f} | {segm} | {d:.1e} |")
+
+
+if __name__ == "__main__":
+    main()
