@@ -138,6 +138,9 @@ class BatchedInferenceEngine:
         self.params = params
         self._compiled = {}
         self._single = InferenceEngine(cfg, test_cfg, params)
+        # images re-run through the exact-gather program because their rois
+        # overflowed the Pallas slab (diagnostic; rare with real weights)
+        self.rerun_count = 0
 
     def _fn(self, shape):
         if shape not in self._compiled:
@@ -189,6 +192,7 @@ class BatchedInferenceEngine:
             if not bool(exact[i]):
                 # rare: roi footprint overflowed the Pallas slab — re-run
                 # this image through the exact-gather program
+                self.rerun_count += 1
                 results.append(
                     self._single.finalize(self._single.submit(args), args, oh, ow)
                 )
@@ -265,6 +269,12 @@ def evaluate_dataset(
             if pending is not None:
                 res = batched.finalize_batch(pending[1], [g[1] for g in pending[0]])
                 results_iter.extend((g[0], r) for g, r in zip(pending[0], res))
+                if verbose and len(results_iter) % (batch_size * 8) < batch_size:
+                    rate = len(results_iter) / (time.time() - t0)
+                    print(
+                        f"  {len(results_iter)}/{len(roidb)} ({rate:.2f} img/s, "
+                        f"{batched.rerun_count} exact reruns)", flush=True,
+                    )
             pending = (group, out)
 
         for entry, args, oh, ow in loader:

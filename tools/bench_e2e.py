@@ -54,7 +54,18 @@ def main():
 
     cfg = PRESETS[args.preset]
     tcfg = TestConfig(score_thresh=args.score_thresh)
-    params = init_params(cfg, seed=0)
+    # Prefer the AP-harness probe weights when cached: real-looking box
+    # geometry (random-weight detections have extreme aspect ratios that
+    # needlessly trigger the Pallas exact-rerun path on every image).
+    probe_cache = "/tmp/ap_synth/weights_r50_fpn_v3.pkl"
+    if cfg.arch == "resnet50" and cfg.use_fpn and os.path.exists(probe_cache):
+        import pickle
+
+        with open(probe_cache, "rb") as f:
+            params = pickle.load(f)
+        log("using AP-harness probe weights")
+    else:
+        params = init_params(cfg, seed=0)
 
     log("running evaluate_dataset (compile on first batch)...")
     t0 = time.time()
