@@ -39,7 +39,10 @@ def main():
 
     ndev = len(jax.devices())
     log(f"devices: {jax.devices()}")
-    cfg = PRESETS["e2e_mask_rcnn_R-50-FPN_2x"]
+    preset = os.environ.get("BENCH_PRESET", "e2e_mask_rcnn_R-50-FPN_2x")
+    cfg = PRESETS[preset]
+    if not cfg.use_rpn:
+        raise SystemExit("bench.py covers RPN-driven presets only")
     test_cfg = TestConfig()
     params = init_params(cfg, seed=0)
 
@@ -88,7 +91,11 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "mask_rcnn_r50_fpn_inference_throughput",
+                "metric": (
+                    "mask_rcnn_r50_fpn_inference_throughput"
+                    if preset == "e2e_mask_rcnn_R-50-FPN_2x"
+                    else f"{preset}_inference_throughput"
+                ),
                 "value": round(img_per_sec, 3),
                 "unit": f"images/sec ({ndev} devices, batch {b})",
                 "vs_baseline": round(img_per_sec / target, 4),

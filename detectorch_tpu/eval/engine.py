@@ -48,27 +48,83 @@ class InferenceEngine:
     def __init__(self, cfg: ModelConfig, test_cfg: TestConfig, params: Dict):
         self.cfg = cfg
         self.test_cfg = test_cfg
-        self.params = params
+        # pin params on device ONCE: passing host numpy params would re-upload
+        # ~100 MB through the interconnect on every call
+        self.params = jax.tree.map(jnp.asarray, params)
         self._compiled = {}
 
-    def _fn(self, shape):
-        if shape not in self._compiled:
-            self._compiled[shape] = jax.jit(
-                make_inference_fn(self.cfg, self.test_cfg)
+    # -- program construction ------------------------------------------------
+
+    def _pad_stride(self):
+        return self.cfg.fpn.coarsest_stride if self.cfg.use_fpn else 32
+
+    def _buckets(self):
+        return None if self.test_cfg.exact_blob_dims else T.DEFAULT_BUCKETS
+
+    def sample_key(self, args):
+        """Compile-cache key for one preprocessed sample: the static shapes
+        its program is specialised on. Host mode: the blob shape. Device
+        mode: (raw bucket, output bucket) — the blob is materialised inside
+        the program."""
+        if not self.test_cfg.device_preprocess:
+            return tuple(args[1].shape)
+        # args[2]/args[4] are the y/x resize tables: their static lengths
+        # ARE the output bucket
+        return (tuple(args[1].shape), (args[2].shape[0], args[4].shape[0]))
+
+    def build_single(self, key, exact: bool = False):
+        """Unjitted single-sample callable for this key. With
+        test_cfg.device_preprocess the uint8->blob conversion (resize, mean
+        subtract, pad; data/device_input.py) is fused into the program, so
+        the host uploads raw uint8 (~25x less tunnel traffic than the fp32
+        blob)."""
+        cfg = self.cfg.replace(use_pallas_roi_align=False) if exact else self.cfg
+        fwd = make_inference_fn(cfg, self.test_cfg)
+        if not self.test_cfg.device_preprocess:
+            return fwd
+        from detectorch_tpu.data.device_input import device_preprocess
+
+        def raw_fwd(params, raw, y_i0, y_w1, x_i0, x_w1, raw_h, raw_w,
+                    rsz_h, rsz_w, scale, oh, ow, *extra):
+            image = device_preprocess(
+                raw, y_i0, y_w1, x_i0, x_w1, raw_h, raw_w, rsz_h, rsz_w
             )
-        return self._compiled[shape]
+            return fwd(params, image, scale, oh, ow, *extra)
+
+        return raw_fwd
+
+    def _fn(self, key):
+        if key not in self._compiled:
+            self._compiled[key] = jax.jit(self.build_single(key))
+        return self._compiled[key]
 
     def preprocess(self, im_rgb: np.ndarray, proposals: Optional[np.ndarray] = None):
         """Host-side prep -> (args tuple, orig_h, orig_w). Thread-safe."""
-        image, scale, (oh, ow) = T.preprocess_image(
-            im_rgb, self.test_cfg.target_size, self.test_cfg.max_size,
-            pad_stride=self.cfg.fpn.coarsest_stride if self.cfg.use_fpn else 32,
-            buckets=None if self.test_cfg.exact_blob_dims else T.DEFAULT_BUCKETS,
-        )
-        args = [
-            self.params, image, jnp.float32(scale),
-            jnp.float32(oh), jnp.float32(ow),
-        ]
+        if self.test_cfg.device_preprocess:
+            from detectorch_tpu.data.device_input import prepare_raw
+
+            raw, m = prepare_raw(
+                im_rgb, self.test_cfg.target_size, self.test_cfg.max_size,
+                pad_stride=self._pad_stride(), buckets=self._buckets(),
+            )
+            scale, oh, ow = m["scale"], m["orig_h"], m["orig_w"]
+            t = m["tables"]
+            args = [
+                self.params, raw,
+                t["y_i0"], t["y_w1"], t["x_i0"], t["x_w1"],
+                jnp.int32(m["raw_h"]), jnp.int32(m["raw_w"]),
+                jnp.int32(m["rsz_h"]), jnp.int32(m["rsz_w"]),
+                jnp.float32(scale), jnp.float32(oh), jnp.float32(ow),
+            ]
+        else:
+            image, scale, (oh, ow) = T.preprocess_image(
+                im_rgb, self.test_cfg.target_size, self.test_cfg.max_size,
+                pad_stride=self._pad_stride(), buckets=self._buckets(),
+            )
+            args = [
+                self.params, image, jnp.float32(scale),
+                jnp.float32(oh), jnp.float32(ow),
+            ]
         if not self.cfg.use_rpn:
             assert proposals is not None
             scaled = proposals * scale
@@ -79,24 +135,22 @@ class InferenceEngine:
 
     def submit(self, args):
         """Dispatch the device program asynchronously (jax async dispatch)."""
-        image = args[1]
-        return self._fn(image.shape)(*args)
+        return self._fn(self.sample_key(args))(*args)
 
-    def _exact_fn(self, shape):
+    def _exact_fn(self, key):
         """Program variant with the exact-gather RoIAlign (used to re-run the
         rare images whose rois overflow the Pallas kernel's slab)."""
-        key = ("exact", shape)
-        if key not in self._compiled:
-            exact_cfg = self.cfg.replace(use_pallas_roi_align=False)
-            self._compiled[key] = jax.jit(make_inference_fn(exact_cfg, self.test_cfg))
-        return self._compiled[key]
+        ckey = ("exact", key)
+        if ckey not in self._compiled:
+            self._compiled[ckey] = jax.jit(self.build_single(key, exact=True))
+        return self._compiled[ckey]
 
     def finalize(self, out, args, oh, ow):
         """Exactness check + collect: if the fast program flagged a Pallas
         slab overflow, re-run this image through the exact variant."""
         if self.cfg.use_fpn and self.cfg.use_pallas_roi_align:
             if not bool(np.asarray(out.roi_align_exact)):
-                out = self._exact_fn(args[1].shape)(*args)
+                out = self._exact_fn(self.sample_key(args))(*args)
         return self._collect(out, oh, ow)
 
     def run_image(self, im_rgb: np.ndarray, proposals: Optional[np.ndarray] = None):
@@ -135,22 +189,25 @@ class BatchedInferenceEngine:
         self.test_cfg = test_cfg
         self.batch_size = batch_size
         self.mesh = mesh
-        self.params = params
         self._compiled = {}
         self._single = InferenceEngine(cfg, test_cfg, params)
+        self.params = self._single.params  # device-pinned once (shared)
         # images re-run through the exact-gather program because their rois
         # overflowed the Pallas slab (diagnostic; rare with real weights)
         self.rerun_count = 0
 
-    def _fn(self, shape):
-        if shape not in self._compiled:
-            single = make_inference_fn(self.cfg, self.test_cfg)
-            axes = (None, 0, 0, 0, 0) if self.cfg.use_rpn else (None, 0, 0, 0, 0, 0, 0)
-            self._compiled[shape] = jax.jit(jax.vmap(single, in_axes=axes))
-        return self._compiled[shape]
+    def _fn(self, key, n_batched):
+        if key not in self._compiled:
+            single = self._single.build_single(key)
+            axes = (None,) + (0,) * n_batched
+            self._compiled[key] = jax.jit(jax.vmap(single, in_axes=axes))
+        return self._compiled[key]
 
     def preprocess(self, im_rgb, proposals=None):
         return self._single.preprocess(im_rgb, proposals)
+
+    def sample_key(self, args):
+        return self._single.sample_key(args)
 
     def submit_batch(self, samples):
         """Asynchronously dispatch one padded batch. samples: list of
@@ -159,6 +216,7 @@ class BatchedInferenceEngine:
         b = self.batch_size
         # pad the tail batch by repeating the last sample
         padded = samples + [samples[-1]] * (b - n)
+        key = self._single.sample_key(padded[0][0])
         arg_lists = list(zip(*[s[0][1:] for s in padded]))  # drop params
         batch = [np.stack([np.asarray(a) for a in arg]) for arg in arg_lists]
         if self.mesh is not None:
@@ -166,7 +224,7 @@ class BatchedInferenceEngine:
 
             sh = NamedSharding(self.mesh, P("data"))
             batch = [jax.device_put(a, sh) for a in batch]
-        return self._fn(tuple(batch[0].shape[1:]))(self.params, *batch)
+        return self._fn(key, len(batch))(self.params, *batch)
 
     def finalize_batch(self, out, samples):
         """Bulk-fetch one batch's outputs (a handful of device->host
@@ -278,7 +336,7 @@ def evaluate_dataset(
             pending = (group, out)
 
         for entry, args, oh, ow in loader:
-            key = tuple(np.asarray(args[1]).shape)
+            key = batched.sample_key(args)
             buckets.setdefault(key, []).append((entry, (args, oh, ow)))
             if len(buckets[key]) == batch_size:
                 _flush(buckets.pop(key))

@@ -218,10 +218,13 @@ def make_inference_fn(
                 params, roi_feats, jnp.dtype(cfg.compute_dtype)
             )
         else:
+            # roi_chunk=64 bounds the separable-matmul intermediate at
+            # batch*64*14*W*1024 fp32 (~2.4 GB at batch 8) instead of the
+            # unchunked ~4.8 GB/image that capped C4 models at batch 2
             roi_feats = roi_align_matmul(
                 c4[0], rois, cfg.roi_size, cfg.roi_size,
                 cfg.spatial_scale, cfg.roi_sampling_ratio,
-                precision=cfg.roi_align_precision,
+                precision=cfg.roi_align_precision, roi_chunk=64,
             ).astype(jnp.dtype(cfg.compute_dtype))
             box_feats = heads_mod.res5_box_head(params, roi_feats, cfg.arch)
 
@@ -252,7 +255,7 @@ def make_inference_fn(
                 mask_feats = roi_align_matmul(
                     c4[0], mask_rois, msize, msize,
                     cfg.spatial_scale, cfg.roi_sampling_ratio,
-                    precision=cfg.roi_align_precision,
+                    precision=cfg.roi_align_precision, roi_chunk=64,
                 )
             mask_feats = mask_feats.astype(jnp.dtype(cfg.compute_dtype))
             mask_probs = heads_mod.mask_head(

@@ -139,3 +139,12 @@ def test_dispatcher_auto(rng):
     a = R.roi_align(feats, rois, 7, 7, 1.0 / 16, 2, method="gather")
     b = R.roi_align(feats, rois, 7, 7, 1.0 / 16, 2, method="matmul")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_matmul_roi_chunking_exact(rng):
+    # N > roi_chunk exercises the lax.map chunked path (incl. the padded
+    # tail chunk); results must be bit-identical to the unchunked form.
+    feats, rois = make_case(rng, n=37)
+    a = R.roi_align_matmul(feats, rois, 7, 7, 1.0 / 16, 2, roi_chunk=16)
+    b = R.roi_align_matmul(feats, rois, 7, 7, 1.0 / 16, 2, roi_chunk=0)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
