@@ -151,6 +151,12 @@ class TestConfig:
     # edge behaviour for eval at the cost of one compiled program per
     # distinct ceil-32 shape (~10-30 programs over COCO)
     exact_blob_dims: bool = False
+    # fuse uint8->blob preprocessing (bilinear resize, mean subtract, pad)
+    # into the device program (data/device_input.py): the host uploads raw
+    # uint8 pixels, ~25x less input traffic than the fp32 blob. Matches the
+    # reference's cv2 path to float32 associativity (~1e-4 abs), not
+    # bit-for-bit; AP-parity measured unchanged (PARITY.md)
+    device_preprocess: bool = False
 
 
 @dataclass(frozen=True)
