@@ -43,6 +43,9 @@ def main():
     cfg = PRESETS[preset]
     if not cfg.use_rpn:
         raise SystemExit("bench.py covers RPN-driven presets only")
+    prec = os.environ.get("BENCH_ROI_ALIGN_PRECISION")
+    if prec:
+        cfg = cfg.replace(roi_align_precision=prec)
     test_cfg = TestConfig()
     params = init_params(cfg, seed=0)
 

@@ -102,8 +102,13 @@ class ModelConfig:
     # compute dtype for the conv body (fp32 for bit-parity runs, bf16 for speed)
     compute_dtype: str = "bfloat16"
     # matmul precision for the C4 separable RoIAlign: 'highest' = exact fp32
-    # (reference-kernel parity), 'high' = bf16_3x, 'bf16' = fastest
-    roi_align_precision: str = "highest"
+    # (reference-kernel parity; 6-pass bf16 emulation on TPU — measured 55%
+    # of C4 inference time), 'high' = bf16_3x (~1e-7 rel error; on TPU it
+    # reproduces the CPU-fp32 mirror AP to 1e-4, CLOSER than TPU-'highest'
+    # whose fp32 emulation rounds differently — examples/c4_precision_ap.py),
+    # 'bf16' = fastest. CPU ignores this knob (always fp32), so the parity
+    # harness is unaffected by the default.
+    roi_align_precision: str = "high"
     # use the Pallas DMA+MXU kernel for FPN RoIAlign (with an exact gather
     # fallback that only executes when a roi's footprint overflows the slab;
     # see models/detector._fpn_roi_align) — ~2x end-to-end throughput
@@ -157,6 +162,9 @@ class TestConfig:
     # reference's cv2 path to float32 associativity (~1e-4 abs), not
     # bit-for-bit; AP-parity measured unchanged (PARITY.md)
     device_preprocess: bool = False
+
+    def replace(self, **kw) -> "TestConfig":
+        return dataclasses.replace(self, **kw)
 
 
 @dataclass(frozen=True)

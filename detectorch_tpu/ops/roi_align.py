@@ -117,11 +117,13 @@ def roi_align_matmul(
 ):
     """Separable-matmul RoIAlign on a single feature level.
 
-    features: (H, W, C); rois: (N, 4). Returns (N, PH, PW, C) float32.
+    features: (H, W, C); rois: (N, 4). Returns (N, PH, PW, C) — float32,
+    except the 'bf16' tier which returns bfloat16 (see below).
 
     precision: 'highest' (fp32, bit-parity with the reference kernel),
     'high' (bf16_3x, ~1e-6 rel error, ~2-3x faster on MXU), or 'bf16'
-    (~4e-3 rel error, fastest).
+    (~4e-3 rel error, fastest: inputs, the intermediate, and the output
+    all bf16 — this op is HBM-bound, so halving the tensors is the win).
 
     roi_chunk: rois are processed in static chunks of this size via
     lax.scan. The separable form materialises a (chunk, PH, W, C)
@@ -148,17 +150,29 @@ def roi_align_matmul(
     # fp32 matmuls: on TPU the default matmul precision truncates inputs to
     # bf16, which costs ~1e-3 absolute error vs the reference kernel.
     hi = PRECISIONS[precision]
+    # At C4 shapes this op is HBM-traffic-bound, not FLOPs-bound: the
+    # (n, PH, W, C) intermediate between the two contractions is the
+    # dominant cost (~38 GB write+read per 8-image 832x1344 batch in fp32).
+    # At the 'bf16' tier the inputs are truncated anyway, so storing the
+    # intermediate in bf16 halves that traffic for ~the same accuracy.
+    # (A Pallas whole-map-in-VMEM kernel was tried and measured SLOWER:
+    # ~38 us/grid-step fixed overhead across ~1000 steps/image beats the
+    # streamed XLA form's traffic cost — see PERF.md round 2.)
+    tmp_t = jnp.bfloat16 if precision == "bf16" else jnp.float32
 
     def contract(ky_c, kx_c):
         # (n, PH, H) x (H, W*C) -> (n, PH, W, C): one big MXU matmul.
         tmp = jnp.einsum(
             "nph,hwc->npwc", ky_c, f,
-            preferred_element_type=jnp.float32, precision=hi,
+            preferred_element_type=tmp_t, precision=hi,
         )
         # (n, PW, W) x (n, PH, W, C) -> (n, PH, PW, C): batched over n.
+        # bf16 tier also stores the OUTPUT in bf16 (the consumer is the
+        # bf16 res5/mask head, so fp32 here would be 6+ GB of pure write
+        # traffic that the next op immediately truncates away)
         return jnp.einsum(
-            "nqw,npwc->npqc", kx_c, tmp,
-            preferred_element_type=jnp.float32, precision=hi,
+            "nqw,npwc->npqc", kx_c.astype(tmp_t), tmp,
+            preferred_element_type=tmp_t, precision=hi,
         )
 
     n = ky.shape[0]

@@ -52,6 +52,9 @@ HARNESS_TCFG = TestConfig(
 def harness_cfg(preset: str):
     cfg = PRESETS[preset].replace(
         compute_dtype="float32",
+        # bit-parity configuration: the proof runs exact fp32 RoIAlign
+        # regardless of the production preset's precision tier
+        roi_align_precision="highest",
         rpn=FPN_RPN if PRESETS[preset].use_fpn else C4_RPN,
     )
     return cfg, HARNESS_TCFG

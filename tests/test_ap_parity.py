@@ -86,3 +86,23 @@ def test_ap_parity(preset, synth):
     dataset, proposals_file = synth
     r = run_preset_parity(preset, dataset, proposals_file)
     check(r)
+
+
+def test_ap_parity_device_preprocess(synth):
+    """The on-device uint8 preprocessing path (data/device_input.py) must
+    hit the same AP as the host cv2 path's mirror: its resize differs from
+    cv2 only in float32 blend order (<=0.007 per pixel), which must not
+    move any of the 12 COCO stats beyond tolerance."""
+    dataset, proposals_file = synth
+    preset = "e2e_faster_rcnn_R-50-FPN_2x"
+    cfg, tcfg = harness_cfg(preset)
+    tcfg = tcfg.replace(device_preprocess=True)
+    params = make_probe_weights(family_of(preset), dataset)
+    roidb = dataset.get_roidb(gt=False)
+    ours_bbox, _, _ = evaluate_dataset(
+        cfg, tcfg, params, dataset, roidb=roidb, verbose=False
+    )
+    mir_bbox, _ = mirror_evaluate(cfg, tcfg, params, dataset, roidb)
+    assert ours_bbox[0] > 0.05
+    d = float(np.max(np.abs(ours_bbox - mir_bbox)))
+    assert d < AP_TOL, (ours_bbox, mir_bbox)

@@ -36,6 +36,10 @@ def main():
     p.add_argument("--score-thresh", type=float, default=1e-4,
                    help="low threshold => ~100 detections+masks per image "
                         "(worst-case host pasting load)")
+    p.add_argument("--device-preprocess", action="store_true",
+                   help="upload raw uint8 and resize/normalize on device "
+                        "(~25x less input-link traffic; see "
+                        "data/device_input.py)")
     args = p.parse_args()
 
     from detectorch_tpu.config import PRESETS, TestConfig
@@ -53,7 +57,8 @@ def main():
     dataset = CocoDataset(ann, imdir)
 
     cfg = PRESETS[args.preset]
-    tcfg = TestConfig(score_thresh=args.score_thresh)
+    tcfg = TestConfig(score_thresh=args.score_thresh,
+                      device_preprocess=args.device_preprocess)
     # Prefer the AP-harness probe weights when cached: real-looking box
     # geometry (random-weight detections have extreme aspect ratios that
     # needlessly trigger the Pallas exact-rerun path on every image).
@@ -82,7 +87,9 @@ def main():
         "metric": "e2e_evaluate_dataset_throughput",
         "value": round(rate, 3),
         "unit": f"images/sec (batch {args.batch}, {args.n} images, "
-                f"masks+RLE, incl host)",
+                f"masks+RLE, incl host"
+                + (", device-preprocess" if args.device_preprocess else "")
+                + ")",
         "detections": n_det,
     }), flush=True)
 
