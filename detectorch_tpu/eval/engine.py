@@ -65,12 +65,17 @@ class InferenceEngine:
         """Compile-cache key for one preprocessed sample: the static shapes
         its program is specialised on. Host mode: the blob shape. Device
         mode: (raw bucket, output bucket) — the blob is materialised inside
-        the program."""
+        the program, and the bucket is recomputed from the meta vector's
+        resized dims (host-side numpy, so this is exact)."""
         if not self.test_cfg.device_preprocess:
             return tuple(args[1].shape)
-        # args[2]/args[4] are the y/x resize tables: their static lengths
-        # ARE the output bucket
-        return (tuple(args[1].shape), (args[2].shape[0], args[4].shape[0]))
+        meta = args[3]
+        return (
+            tuple(args[1].shape),
+            T.bucket_shape(
+                int(meta[2]), int(meta[3]), self._pad_stride(), self._buckets()
+            ),
+        )
 
     def build_single(self, key, exact: bool = False):
         """Unjitted single-sample callable for this key. With
@@ -84,12 +89,22 @@ class InferenceEngine:
             return fwd
         from detectorch_tpu.data.device_input import device_preprocess
 
-        def raw_fwd(params, raw, y_i0, y_w1, x_i0, x_w1, raw_h, raw_w,
-                    rsz_h, rsz_w, scale, oh, ow, *extra):
+        (_, (out_h, out_w)) = key
+
+        def raw_fwd(params, raw, tables, meta, *extra):
+            # tables (4, L) f32: [y_i0, y_w1, x_i0, x_w1] padded to
+            # L = max(out_h, out_w); meta (7,) f32: raw_h, raw_w, rsz_h,
+            # rsz_w, scale, orig_h, orig_w. One upload each per batch —
+            # every extra array argument costs a full RPC on a tunneled
+            # backend (measured ~40 ms apiece)
             image = device_preprocess(
-                raw, y_i0, y_w1, x_i0, x_w1, raw_h, raw_w, rsz_h, rsz_w
+                raw,
+                tables[0, :out_h].astype(jnp.int32), tables[1, :out_h],
+                tables[2, :out_w].astype(jnp.int32), tables[3, :out_w],
+                meta[0].astype(jnp.int32), meta[1].astype(jnp.int32),
+                meta[2].astype(jnp.int32), meta[3].astype(jnp.int32),
             )
-            return fwd(params, image, scale, oh, ow, *extra)
+            return fwd(params, image, meta[4], meta[5], meta[6], *extra)
 
         return raw_fwd
 
@@ -109,21 +124,28 @@ class InferenceEngine:
             )
             scale, oh, ow = m["scale"], m["orig_h"], m["orig_w"]
             t = m["tables"]
-            args = [
-                self.params, raw,
-                t["y_i0"], t["y_w1"], t["x_i0"], t["x_w1"],
-                jnp.int32(m["raw_h"]), jnp.int32(m["raw_w"]),
-                jnp.int32(m["rsz_h"]), jnp.int32(m["rsz_w"]),
-                jnp.float32(scale), jnp.float32(oh), jnp.float32(ow),
-            ]
+            # pack into host-side numpy: raw + ONE tables array + ONE meta
+            # vector (index tables as f32 are exact below 2^24); every
+            # separate device argument costs a full transfer RPC
+            L = max(m["out_h"], m["out_w"])
+            tables = np.zeros((4, L), np.float32)
+            tables[0, : m["out_h"]] = t["y_i0"]
+            tables[1, : m["out_h"]] = t["y_w1"]
+            tables[2, : m["out_w"]] = t["x_i0"]
+            tables[3, : m["out_w"]] = t["x_w1"]
+            meta = np.asarray(
+                [m["raw_h"], m["raw_w"], m["rsz_h"], m["rsz_w"],
+                 scale, oh, ow], np.float32,
+            )
+            args = [self.params, raw, tables, meta]
         else:
             image, scale, (oh, ow) = T.preprocess_image(
                 im_rgb, self.test_cfg.target_size, self.test_cfg.max_size,
                 pad_stride=self._pad_stride(), buckets=self._buckets(),
             )
             args = [
-                self.params, image, jnp.float32(scale),
-                jnp.float32(oh), jnp.float32(ow),
+                self.params, image, np.float32(scale),
+                np.float32(oh), np.float32(ow),
             ]
         if not self.cfg.use_rpn:
             assert proposals is not None
@@ -200,7 +222,31 @@ class BatchedInferenceEngine:
         if key not in self._compiled:
             single = self._single.build_single(key)
             axes = (None,) + (0,) * n_batched
-            self._compiled[key] = jax.jit(jax.vmap(single, in_axes=axes))
+            vf = jax.vmap(single, in_axes=axes)
+
+            def packed(*args):
+                # pack the per-detection fields into ONE tensor: each
+                # device->host array fetch pays a full RPC round trip on a
+                # tunneled backend, so 4 small fetches per batch become 1
+                out = vf(*args)
+                d = out.detections
+                pk = jnp.concatenate(
+                    [
+                        d.boxes,
+                        d.scores[..., None],
+                        d.classes.astype(jnp.float32)[..., None],
+                        d.valid.astype(jnp.float32)[..., None],
+                    ],
+                    axis=-1,
+                )  # (B, K, 7)
+                exact = (
+                    out.roi_align_exact
+                    if self.cfg.use_fpn and self.cfg.use_pallas_roi_align
+                    else jnp.ones(pk.shape[0], jnp.bool_)
+                )
+                return pk, out.masks, exact
+
+            self._compiled[key] = jax.jit(packed)
         return self._compiled[key]
 
     def preprocess(self, im_rgb, proposals=None):
@@ -227,34 +273,32 @@ class BatchedInferenceEngine:
         return self._fn(key, len(batch))(self.params, *batch)
 
     def finalize_batch(self, out, samples):
-        """Bulk-fetch one batch's outputs (a handful of device->host
-        transfers for the whole batch — NOT per-image tree slicing, which
-        costs a tunnel round trip per field per image), re-run any
-        Pallas-slab-overflow images through the exact program, and collect
-        host-side results (mask paste + RLE)."""
+        """Bulk-fetch one batch's outputs (3 device->host transfers for the
+        whole batch — NOT per-image or per-field slicing, which costs a
+        tunnel round trip each), re-run any Pallas-slab-overflow images
+        through the exact program, and collect host-side results (mask
+        paste + RLE, parallelised across the batch)."""
         n = len(samples)
-        dets = out.detections
-        boxes = np.asarray(dets.boxes)
-        scores = np.asarray(dets.scores)
-        classes = np.asarray(dets.classes)
-        valid = np.asarray(dets.valid)
-        masks = np.asarray(out.masks) if out.masks is not None else None
-        exact = (
-            np.asarray(out.roi_align_exact)
-            if self.cfg.use_fpn and self.cfg.use_pallas_roi_align
-            else np.ones(len(valid), bool)
-        )
-        results = []
-        for i in range(n):
+        pk, masks_dev, exact_dev = out
+        pk = np.asarray(pk)
+        masks = np.asarray(masks_dev) if masks_dev is not None else None
+        exact = np.asarray(exact_dev)
+        boxes = pk[..., :4]
+        scores = pk[..., 4]
+        classes = pk[..., 5].astype(np.int64)
+        valid = pk[..., 6] > 0.5
+
+        def collect(i):
             args, oh, ow = samples[i]
             if not bool(exact[i]):
                 # rare: roi footprint overflowed the Pallas slab — re-run
-                # this image through the exact-gather program
+                # this image straight through the exact-gather program (we
+                # already know it is needed; going via the fast program
+                # would compile and run a whole extra variant)
                 self.rerun_count += 1
-                results.append(
-                    self._single.finalize(self._single.submit(args), args, oh, ow)
-                )
-                continue
+                single = self._single
+                out = single._exact_fn(single.sample_key(args))(*args)
+                return single._collect(out, oh, ow)
             ok = valid[i]
             result = {
                 "boxes": boxes[i][ok],
@@ -266,8 +310,16 @@ class BatchedInferenceEngine:
                     masks[i][ok], result["boxes"], int(oh), int(ow),
                     self.cfg.mask.resolution,
                 )
-            results.append(result)
-        return results
+            return result
+
+        if masks is not None and n > 1:
+            # the per-image paste+RLE is pure numpy/C — fan it out
+            from concurrent.futures import ThreadPoolExecutor
+
+            if not hasattr(self, "_paste_pool"):
+                self._paste_pool = ThreadPoolExecutor(max_workers=4)
+            return list(self._paste_pool.map(collect, range(n)))
+        return [collect(i) for i in range(n)]
 
     def run_batch(self, samples):
         """Synchronous submit+finalize (see submit_batch/finalize_batch)."""
@@ -287,8 +339,13 @@ def evaluate_dataset(
     output_dir: Optional[str] = None,
     dataset_name: str = "dataset",
     per_class_ap: bool = False,
+    engines: Optional[Dict] = None,
 ):
     """Full dataset loop -> (bbox stats, segm stats or None, results dict).
+
+    `engines`: optional dict reused across calls to keep compiled programs
+    warm (pass the same dict to a small warmup call, then the real run —
+    e.g. tools/bench_e2e.py separates compile time from steady throughput).
 
     With `output_dir` set, results are round-tripped through COCO-format
     json files and the evaluator pickles are saved, exactly like the
@@ -302,7 +359,11 @@ def evaluate_dataset(
 
     from detectorch_tpu.data.loader import PrefetchLoader
 
-    engine = InferenceEngine(cfg, test_cfg, params)
+    if engines is None:
+        engines = {}
+    if "single" not in engines:
+        engines["single"] = InferenceEngine(cfg, test_cfg, params)
+    engine = engines["single"]
 
     def make_sample(entry):
         im = T.load_image_rgb(entry.file_path)
@@ -316,30 +377,44 @@ def evaluate_dataset(
     t0 = time.time()
     results_iter = []
     if batch_size > 1:
-        batched = BatchedInferenceEngine(cfg, test_cfg, params, batch_size, mesh)
+        if "batched" not in engines:
+            engines["batched"] = BatchedInferenceEngine(
+                cfg, test_cfg, params, batch_size, mesh
+            )
+        batched = engines["batched"]
         buckets: Dict[tuple, list] = {}
         pending = None  # (group, device_out) — 1-deep batch pipeline: host
         # mask-paste/RLE of batch i overlaps device compute of batch i+1
+        phase_s = {"load": 0.0, "submit": 0.0, "finalize": 0.0}
 
         def _flush(group):
             nonlocal pending
+            ts = time.time()
             out = batched.submit_batch([g[1] for g in group])
+            phase_s["submit"] += time.time() - ts
             if pending is not None:
+                ts = time.time()
                 res = batched.finalize_batch(pending[1], [g[1] for g in pending[0]])
+                phase_s["finalize"] += time.time() - ts
                 results_iter.extend((g[0], r) for g, r in zip(pending[0], res))
                 if verbose and len(results_iter) % (batch_size * 8) < batch_size:
                     rate = len(results_iter) / (time.time() - t0)
+                    ph = " ".join(f"{k}={v:.1f}s" for k, v in phase_s.items())
                     print(
                         f"  {len(results_iter)}/{len(roidb)} ({rate:.2f} img/s, "
-                        f"{batched.rerun_count} exact reruns)", flush=True,
+                        f"{batched.rerun_count} exact reruns; {ph})",
+                        flush=True,
                     )
             pending = (group, out)
 
+        t_load = time.time()
         for entry, args, oh, ow in loader:
+            phase_s["load"] += time.time() - t_load
             key = batched.sample_key(args)
             buckets.setdefault(key, []).append((entry, (args, oh, ow)))
             if len(buckets[key]) == batch_size:
                 _flush(buckets.pop(key))
+            t_load = time.time()
         for group in buckets.values():
             _flush(group)
         if pending is not None:

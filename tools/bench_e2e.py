@@ -72,10 +72,33 @@ def main():
     else:
         params = init_params(cfg, seed=0)
 
-    log("running evaluate_dataset (compile on first batch)...")
+    # warm every program OUTSIDE the timed run (first axon compile is
+    # minutes; a 5k-image production run amortises it to nothing, so the
+    # honest steady-state number excludes it): a small eval slice compiles
+    # the batched program, then one explicit dispatch compiles the
+    # exact-rerun variant
+    engines = {}
+    log("warmup (compiles)...")
+    t0 = time.time()
+    evaluate_dataset(
+        cfg, tcfg, params, dataset, limit=2 * args.batch,
+        batch_size=args.batch, verbose=False, engines=engines,
+    )
+    single = engines["batched"]._single
+    roidb = dataset.get_roidb(gt=False)
+    from detectorch_tpu.data.transforms import load_image_rgb
+
+    wargs, _, _ = single.preprocess(load_image_rgb(roidb[0].file_path))
+    np.asarray(
+        single._exact_fn(single.sample_key(wargs))(*wargs).detections.scores
+    )
+    log(f"warmup done in {time.time()-t0:.1f}s")
+
+    log("running evaluate_dataset (steady state)...")
     t0 = time.time()
     bbox_stats, segm_stats, results = evaluate_dataset(
         cfg, tcfg, params, dataset, batch_size=args.batch, verbose=True,
+        engines=engines,
     )
     total = time.time() - t0
     n_det = len(results["bbox"])
