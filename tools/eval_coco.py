@@ -36,6 +36,11 @@ def main():
     p.add_argument("--fp32", action="store_true", help="fp32 backbone compute")
     p.add_argument("--exact-blob", action="store_true",
                    help="reference-exact ceil-32 image padding (more compiles)")
+    p.add_argument("--device-preprocess", action="store_true",
+                   help="upload raw uint8 and resize/normalize on device "
+                        "(~25x less input traffic; data/device_input.py)")
+    p.add_argument("--batch", type=int, default=1,
+                   help="bucket-grouped batched inference (throughput mode)")
     args = p.parse_args()
 
     from detectorch_tpu.config import PRESETS, TestConfig
@@ -46,7 +51,8 @@ def main():
     cfg = PRESETS[args.preset]
     if args.fp32:
         cfg = cfg.replace(compute_dtype="float32")
-    test_cfg = TestConfig(exact_blob_dims=args.exact_blob)
+    test_cfg = TestConfig(exact_blob_dims=args.exact_blob,
+                          device_preprocess=args.device_preprocess)
 
     print(f"loading weights {args.weights}", flush=True)
     blobs = c2.load_caffe2_pkl(args.weights)
@@ -59,6 +65,7 @@ def main():
     )
     bbox_stats, segm_stats, info = evaluate_dataset(
         cfg, test_cfg, params, ds, roidb=roidb, limit=args.limit,
+        batch_size=args.batch,
         output_dir=args.output_dir,
         dataset_name=os.path.splitext(os.path.basename(args.ann))[0],
         per_class_ap=args.per_class_ap,
