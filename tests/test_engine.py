@@ -155,3 +155,49 @@ def test_engine_exact_rerun_on_slab_overflow(rng):
     args2, _, _ = fast.preprocess(im, proposals[1:])
     out2 = fast.submit(args2)
     assert bool(np.asarray(out2.roi_align_exact))
+
+
+def test_batched_device_preprocess_matches_single(tiny_coco, rng):
+    """The packed batched protocol (raw uint8 + tables + meta uploads, one
+    packed detections tensor back) must produce the same results as the
+    single-image device-preprocess path."""
+    ann, imdir = tiny_coco
+    ds = CocoDataset(ann, imdir)
+    cfg = PRESETS["e2e_faster_rcnn_R-50-FPN_2x"].replace(compute_dtype="float32")
+    cfg = cfg.replace(rpn=cfg.rpn.__class__(pre_nms_top_n=100, post_nms_top_n=20))
+    tcfg = TestConfig(target_size=64, max_size=96, detections_per_img=5,
+                      score_thresh=0.0, device_preprocess=True)
+    params = init_params(cfg, seed=0)
+    s1, _, info1 = evaluate_dataset(cfg, tcfg, params, ds, verbose=False)
+    s2, _, info2 = evaluate_dataset(
+        cfg, tcfg, params, ds, verbose=False, batch_size=2
+    )
+    assert len(info1["bbox"]) == len(info2["bbox"]) > 0
+    b1 = sorted(info1["bbox"], key=lambda r: (r["image_id"], -r["score"]))
+    b2 = sorted(info2["bbox"], key=lambda r: (r["image_id"], -r["score"]))
+    for r1, r2 in zip(b1, b2):
+        assert r1["image_id"] == r2["image_id"]
+        assert r1["category_id"] == r2["category_id"]
+        np.testing.assert_allclose(r1["bbox"], r2["bbox"], rtol=1e-4, atol=1e-3)
+
+
+def test_evaluate_dataset_engines_reuse(tiny_coco, rng):
+    """Passing the same `engines` dict across calls reuses compiled
+    programs (the warmup pattern tools/bench_e2e.py relies on)."""
+    ann, imdir = tiny_coco
+    ds = CocoDataset(ann, imdir)
+    cfg = PRESETS["e2e_faster_rcnn_R-50-FPN_2x"].replace(compute_dtype="float32")
+    cfg = cfg.replace(rpn=cfg.rpn.__class__(pre_nms_top_n=100, post_nms_top_n=20))
+    tcfg = TestConfig(target_size=64, max_size=96, detections_per_img=5)
+    params = init_params(cfg, seed=0)
+    engines = {}
+    evaluate_dataset(cfg, tcfg, params, ds, limit=2, verbose=False,
+                     batch_size=2, engines=engines)
+    batched = engines["batched"]
+    n_compiled = len(batched._compiled)
+    assert n_compiled >= 1
+    _, _, info = evaluate_dataset(cfg, tcfg, params, ds, verbose=False,
+                                  batch_size=2, engines=engines)
+    assert engines["batched"] is batched
+    assert len(batched._compiled) == n_compiled  # no new programs
+    assert len(info["bbox"]) > 0
