@@ -383,29 +383,36 @@ def evaluate_dataset(
             )
         batched = engines["batched"]
         buckets: Dict[tuple, list] = {}
-        pending = None  # (group, device_out) — 1-deep batch pipeline: host
-        # mask-paste/RLE of batch i overlaps device compute of batch i+1
+        # 2-deep batch pipeline: while batch i's results are fetched and
+        # its masks pasted on the host, batch i+1 computes on the device
+        # and batch i+2's upload streams in behind it
+        from collections import deque
+
+        pending = deque()  # of (group, device_out)
         phase_s = {"load": 0.0, "submit": 0.0, "finalize": 0.0}
 
+        def _drain_one():
+            group, out = pending.popleft()
+            ts = time.time()
+            res = batched.finalize_batch(out, [g[1] for g in group])
+            phase_s["finalize"] += time.time() - ts
+            results_iter.extend((g[0], r) for g, r in zip(group, res))
+            if verbose and len(results_iter) % (batch_size * 8) < batch_size:
+                rate = len(results_iter) / (time.time() - t0)
+                ph = " ".join(f"{k}={v:.1f}s" for k, v in phase_s.items())
+                print(
+                    f"  {len(results_iter)}/{len(roidb)} ({rate:.2f} img/s, "
+                    f"{batched.rerun_count} exact reruns; {ph})",
+                    flush=True,
+                )
+
         def _flush(group):
-            nonlocal pending
             ts = time.time()
             out = batched.submit_batch([g[1] for g in group])
             phase_s["submit"] += time.time() - ts
-            if pending is not None:
-                ts = time.time()
-                res = batched.finalize_batch(pending[1], [g[1] for g in pending[0]])
-                phase_s["finalize"] += time.time() - ts
-                results_iter.extend((g[0], r) for g, r in zip(pending[0], res))
-                if verbose and len(results_iter) % (batch_size * 8) < batch_size:
-                    rate = len(results_iter) / (time.time() - t0)
-                    ph = " ".join(f"{k}={v:.1f}s" for k, v in phase_s.items())
-                    print(
-                        f"  {len(results_iter)}/{len(roidb)} ({rate:.2f} img/s, "
-                        f"{batched.rerun_count} exact reruns; {ph})",
-                        flush=True,
-                    )
-            pending = (group, out)
+            pending.append((group, out))
+            if len(pending) > 2:
+                _drain_one()
 
         t_load = time.time()
         for entry, args, oh, ow in loader:
@@ -417,9 +424,8 @@ def evaluate_dataset(
             t_load = time.time()
         for group in buckets.values():
             _flush(group)
-        if pending is not None:
-            res = batched.finalize_batch(pending[1], [g[1] for g in pending[0]])
-            results_iter.extend((g[0], r) for g, r in zip(pending[0], res))
+        while pending:
+            _drain_one()
     else:
         pending = None  # (entry, device_out, args, oh, ow) — 1-deep pipeline
         for i, (entry, args, oh, ow) in enumerate(loader):
