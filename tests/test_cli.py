@@ -1,0 +1,82 @@
+"""End-to-end CLI coverage: tools/eval_coco.py driven as a subprocess on a
+tiny synthetic dataset with weights exported through the caffe2 round-trip
+(the exact artifact a user would pass). Covers arg parsing, checkpoint
+loading, both engine modes, and the AP report lines."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    import cv2
+
+    rng = np.random.RandomState(7)
+    root = tmp_path_factory.mktemp("cli_coco")
+    imgs, anns = [], []
+    for i in range(2):
+        h, w = 64, 80
+        name = f"im{i}.jpg"
+        cv2.imwrite(str(root / name),
+                    (rng.uniform(size=(h, w, 3)) * 255).astype(np.uint8))
+        imgs.append({"id": i + 1, "file_name": name, "height": h, "width": w})
+        anns.append({"id": i + 1, "image_id": i + 1, "category_id": 1,
+                     "bbox": [10, 10, 30, 30], "area": 900.0, "iscrowd": 0,
+                     "segmentation": [[10, 10, 40, 10, 40, 40, 10, 40]]})
+    ann = root / "ann.json"
+    ann.write_text(json.dumps({
+        "images": imgs, "annotations": anns,
+        "categories": [{"id": c, "name": f"c{c}"} for c in range(1, 81)],
+    }))
+    return str(ann), str(root)
+
+
+@pytest.fixture(scope="module")
+def exported_weights(tmp_path_factory):
+    from detectorch_tpu.checkpoint import caffe2_import as C2
+    from detectorch_tpu.config import PRESETS
+    from detectorch_tpu.models.detector import init_params
+
+    cfg = PRESETS["e2e_faster_rcnn_R-50-FPN_2x"]
+    params = init_params(cfg, seed=0)
+    path = str(tmp_path_factory.mktemp("w") / "model.pkl")
+    C2.save_caffe2_pkl(params, cfg, path)
+    return path
+
+
+def _run_cli(args):
+    env = dict(os.environ, DETECTORCH_CPU="1")
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "eval_coco.py"), *args],
+        capture_output=True, text=True, timeout=1200, env=env, cwd=REPO,
+    )
+
+
+def test_eval_coco_cli(tiny_dataset, exported_weights):
+    ann, imdir = tiny_dataset
+    r = _run_cli([
+        "--preset", "e2e_faster_rcnn_R-50-FPN_2x",
+        "--weights", exported_weights, "--ann", ann, "--imdir", imdir,
+        "--fp32",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "box AP:" in r.stdout
+    assert "throughput:" in r.stdout
+
+
+def test_eval_coco_cli_device_preprocess_batched(tiny_dataset, exported_weights):
+    ann, imdir = tiny_dataset
+    r = _run_cli([
+        "--preset", "e2e_faster_rcnn_R-50-FPN_2x",
+        "--weights", exported_weights, "--ann", ann, "--imdir", imdir,
+        "--fp32", "--device-preprocess", "--batch", "2",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "box AP:" in r.stdout

@@ -19,6 +19,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
+    if os.environ.get("DETECTORCH_CPU"):
+        # this jax build ignores the JAX_PLATFORMS env var (the TPU plugin
+        # is pinned via sitecustomize); tests force CPU through the config
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--preset", required=True)
     p.add_argument("--weights", required=True, help="Detectron .pkl checkpoint")
