@@ -217,6 +217,7 @@ class BatchedInferenceEngine:
         # images re-run through the exact-gather program because their rois
         # overflowed the Pallas slab (diagnostic; rare with real weights)
         self.rerun_count = 0
+        self._paste_pool = None
 
     def _fn(self, key, n_batched):
         if key not in self._compiled:
@@ -288,17 +289,21 @@ class BatchedInferenceEngine:
         classes = pk[..., 5].astype(np.int64)
         valid = pk[..., 6] > 0.5
 
+        def rerun_exact(i):
+            # rare: roi footprint overflowed the Pallas slab — re-run this
+            # image straight through the exact-gather program (we already
+            # know it is needed; going via the fast program would compile
+            # and run a whole extra variant). Only ever called from the
+            # main thread: _exact_fn mutates the compile cache and
+            # rerun_count is a plain counter — neither is thread-safe.
+            args, oh, ow = samples[i]
+            self.rerun_count += 1
+            single = self._single
+            out = single._exact_fn(single.sample_key(args))(*args)
+            return single._collect(out, oh, ow)
+
         def collect(i):
             args, oh, ow = samples[i]
-            if not bool(exact[i]):
-                # rare: roi footprint overflowed the Pallas slab — re-run
-                # this image straight through the exact-gather program (we
-                # already know it is needed; going via the fast program
-                # would compile and run a whole extra variant)
-                self.rerun_count += 1
-                single = self._single
-                out = single._exact_fn(single.sample_key(args))(*args)
-                return single._collect(out, oh, ow)
             ok = valid[i]
             result = {
                 "boxes": boxes[i][ok],
@@ -312,14 +317,33 @@ class BatchedInferenceEngine:
                 )
             return result
 
-        if masks is not None and n > 1:
+        # exact reruns happen serially on the main thread (compile-cache /
+        # counter mutation); the common no-overflow images go to the pool
+        reruns = {i: rerun_exact(i) for i in range(n) if not bool(exact[i])}
+        rest = [i for i in range(n) if i not in reruns]
+        if masks is not None and len(rest) > 1:
             # the per-image paste+RLE is pure numpy/C — fan it out
             from concurrent.futures import ThreadPoolExecutor
 
-            if not hasattr(self, "_paste_pool"):
+            if self._paste_pool is None:
                 self._paste_pool = ThreadPoolExecutor(max_workers=4)
-            return list(self._paste_pool.map(collect, range(n)))
-        return [collect(i) for i in range(n)]
+            collected = dict(zip(rest, self._paste_pool.map(collect, rest)))
+        else:
+            collected = {i: collect(i) for i in rest}
+        collected.update(reruns)
+        return [collected[i] for i in range(n)]
+
+    def close(self):
+        """Shut down the host-side paste pool (idempotent)."""
+        if self._paste_pool is not None:
+            self._paste_pool.shutdown(wait=True)
+            self._paste_pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def run_batch(self, samples):
         """Synchronous submit+finalize (see submit_batch/finalize_batch)."""
@@ -377,11 +401,16 @@ def evaluate_dataset(
     t0 = time.time()
     results_iter = []
     if batch_size > 1:
-        if "batched" not in engines:
-            engines["batched"] = BatchedInferenceEngine(
+        # key the cached engine by its call parameters: a reused dict from a
+        # previous call with a different batch_size/mesh must not silently
+        # serve that old configuration
+        bkey = ("batched", batch_size, None if mesh is None else
+                tuple(sorted(mesh.shape.items())))
+        if bkey not in engines:
+            engines[bkey] = BatchedInferenceEngine(
                 cfg, test_cfg, params, batch_size, mesh
             )
-        batched = engines["batched"]
+        batched = engines[bkey]
         buckets: Dict[tuple, list] = {}
         # 2-deep batch pipeline: while batch i's results are fetched and
         # its masks pasted on the host, batch i+1 computes on the device

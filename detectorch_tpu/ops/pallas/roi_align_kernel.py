@@ -193,7 +193,7 @@ def multilevel_roi_align_pallas(
         in_specs=[
             pl.BlockSpec((1, pooled_h, slab), lambda i, sr, sc: (i, 0, 0)),
             pl.BlockSpec((1, pooled_w, slab), lambda i, sr, sc: (i, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # atlas stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # atlas stays in HBM
         ],
         out_specs=pl.BlockSpec(
             (1, pooled_h, pooled_w, channels), lambda i, sr, sc: (i, 0, 0, 0)

@@ -114,11 +114,14 @@ def roi_align_matmul(
     max_grid: int = 8,
     precision: str = "highest",
     roi_chunk: int = 128,
+    out_dtype=None,
 ):
     """Separable-matmul RoIAlign on a single feature level.
 
     features: (H, W, C); rois: (N, 4). Returns (N, PH, PW, C) — float32,
-    except the 'bf16' tier which returns bfloat16 (see below).
+    except the 'bf16' tier which returns bfloat16 (see below). Pass
+    out_dtype to pin the output dtype explicitly regardless of tier
+    (e.g. out_dtype=jnp.float32 keeps the old contract under 'bf16').
 
     precision: 'highest' (fp32, bit-parity with the reference kernel),
     'high' (bf16_3x, ~1e-6 rel error, ~2-3x faster on MXU), or 'bf16'
@@ -177,15 +180,17 @@ def roi_align_matmul(
 
     n = ky.shape[0]
     if roi_chunk <= 0 or n <= roi_chunk:
-        return contract(ky, kx)
-    pad = (-n) % roi_chunk
-    kyp = jnp.pad(ky, ((0, pad), (0, 0), (0, 0)))
-    kxp = jnp.pad(kx, ((0, pad), (0, 0), (0, 0)))
-    chunks = (n + pad) // roi_chunk
-    kyp = kyp.reshape(chunks, roi_chunk, *ky.shape[1:])
-    kxp = kxp.reshape(chunks, roi_chunk, *kx.shape[1:])
-    out = jax.lax.map(lambda ab: contract(*ab), (kyp, kxp))
-    return out.reshape(chunks * roi_chunk, pooled_h, pooled_w, -1)[:n]
+        out = contract(ky, kx)
+    else:
+        pad = (-n) % roi_chunk
+        kyp = jnp.pad(ky, ((0, pad), (0, 0), (0, 0)))
+        kxp = jnp.pad(kx, ((0, pad), (0, 0), (0, 0)))
+        chunks = (n + pad) // roi_chunk
+        kyp = kyp.reshape(chunks, roi_chunk, *ky.shape[1:])
+        kxp = kxp.reshape(chunks, roi_chunk, *kx.shape[1:])
+        out = jax.lax.map(lambda ab: contract(*ab), (kyp, kxp))
+        out = out.reshape(chunks * roi_chunk, pooled_h, pooled_w, -1)[:n]
+    return out if out_dtype is None else out.astype(out_dtype)
 
 
 def _gather_bilinear(flat_features, base_offset, ys, xs, w_live, lvl_h, lvl_w, row_stride):

@@ -111,3 +111,92 @@ def vis_one_image(
         os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
         cv2.imwrite(output_path, out[:, :, ::-1])
     return out
+
+
+def vis_one_image_matplotlib(
+    img_rgb,
+    boxes,
+    scores,
+    classes,
+    rles=None,
+    thresh: float = 0.7,
+    output_dir: Optional[str] = None,
+    im_name: str = "image",
+    ext: str = "pdf",
+    dpi: int = 200,
+    box_alpha: float = 0.8,
+    show_class: bool = True,
+    class_names: Sequence[str] = COCO_CLASSES,
+):
+    """Matplotlib renderer with polygonised masks, saving pdf/jpg/png —
+    behavioural parity with the reference's `vis_one_image`
+    (lib/utils/vis.py:251-392): frameless figure sized im/dpi, detections
+    drawn largest-to-smallest to reduce occlusion, thin green box
+    rectangles, white serif class text on a green patch, masks as filled
+    matplotlib Polygons from cv2 contours with the colormap color
+    lightened by 0.4 and white edges. Saved as
+    `<output_dir>/<basename(im_name)>.<ext>`; returns the saved path (or
+    None if nothing exceeds `thresh` — the reference returns without
+    writing in that case too, vis.py:263-264).
+    """
+    import cv2
+    import matplotlib
+
+    matplotlib.use("Agg")  # headless backend; no display in this stack
+    import matplotlib.pyplot as plt
+    from matplotlib.patches import Polygon
+
+    boxes = np.asarray(boxes, np.float64).reshape(-1, 4)
+    scores = np.asarray(scores, np.float64).reshape(-1)
+    if len(boxes) == 0 or (len(scores) and scores.max() < thresh):
+        return None
+
+    masks = None
+    if rles is not None and len(rles):
+        masks = np.stack([rle_mod.decode(r) for r in rles], axis=2)
+    color_list = colormap(rgb=True) / 255.0
+
+    fig = plt.figure(frameon=False)
+    fig.set_size_inches(img_rgb.shape[1] / dpi, img_rgb.shape[0] / dpi)
+    ax = plt.Axes(fig, [0.0, 0.0, 1.0, 1.0])
+    ax.axis("off")
+    fig.add_axes(ax)
+    ax.imshow(img_rgb)
+
+    areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    order = np.argsort(-areas)
+    mask_color_id = 0
+    for i in order:
+        if scores[i] < thresh:
+            continue
+        x1, y1, x2, y2 = boxes[i]
+        ax.add_patch(
+            plt.Rectangle((x1, y1), x2 - x1, y2 - y1, fill=False,
+                          edgecolor="g", linewidth=0.5, alpha=box_alpha)
+        )
+        if show_class:
+            c = int(classes[i])
+            name = class_names[c] if c < len(class_names) else str(c)
+            label = f"{name} {scores[i]:.2f}".replace(" 0.", " .")
+            ax.text(x1, y1 - 2, label, fontsize=3, family="serif",
+                    bbox=dict(facecolor="g", alpha=0.4, pad=0,
+                              edgecolor="none"),
+                    color="white")
+        if masks is not None and i < masks.shape[2]:
+            color = color_list[mask_color_id % len(color_list), :3].copy()
+            mask_color_id += 1
+            color = color * 0.6 + 0.4  # lighten toward white (w_ratio=.4)
+            contours = cv2.findContours(
+                masks[:, :, i].copy(), cv2.RETR_CCOMP, cv2.CHAIN_APPROX_NONE
+            )[-2]
+            for cont in contours:
+                ax.add_patch(Polygon(cont.reshape(-1, 2), fill=True,
+                                     facecolor=color, edgecolor="w",
+                                     linewidth=1.2, alpha=0.5))
+
+    output_dir = output_dir or "."
+    os.makedirs(output_dir, exist_ok=True)
+    out_path = os.path.join(output_dir, os.path.basename(im_name) + "." + ext)
+    fig.savefig(out_path, dpi=dpi)
+    plt.close(fig)
+    return out_path

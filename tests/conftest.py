@@ -26,3 +26,13 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Everything not explicitly @pytest.mark.slow is `quick`, so both
+    `-m quick` and `-m slow` select meaningful subsets (the full suite
+    exceeds a 10-minute window on a 1-CPU box; see README 'Running the
+    tests')."""
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.quick)

@@ -12,6 +12,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pytest.ini)
+
 from detectorch_tpu.eval.engine import evaluate_dataset
 from tests.ap_harness import (
     family_of,

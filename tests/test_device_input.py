@@ -8,6 +8,8 @@ and produce identical end detections through the engine.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pytest.ini)
+
 from detectorch_tpu.data import transforms as T
 from detectorch_tpu.data.device_input import device_preprocess, prepare_raw
 

@@ -10,6 +10,8 @@ import pickle
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pytest.ini)
+
 from detectorch_tpu.config import PRESETS, TestConfig
 from detectorch_tpu.data.coco import CocoDataset
 from detectorch_tpu.eval.engine import evaluate_dataset
@@ -193,11 +195,18 @@ def test_evaluate_dataset_engines_reuse(tiny_coco, rng):
     engines = {}
     evaluate_dataset(cfg, tcfg, params, ds, limit=2, verbose=False,
                      batch_size=2, engines=engines)
-    batched = engines["batched"]
+    bkey = ("batched", 2, None)
+    batched = engines[bkey]
     n_compiled = len(batched._compiled)
     assert n_compiled >= 1
     _, _, info = evaluate_dataset(cfg, tcfg, params, ds, verbose=False,
                                   batch_size=2, engines=engines)
-    assert engines["batched"] is batched
+    assert engines[bkey] is batched
     assert len(batched._compiled) == n_compiled  # no new programs
     assert len(info["bbox"]) > 0
+    # a different batch_size must NOT silently reuse the old engine
+    # (ADVICE r2: cached engines are keyed by their call parameters)
+    evaluate_dataset(cfg, tcfg, params, ds, limit=3, verbose=False,
+                     batch_size=3, engines=engines)
+    assert ("batched", 3, None) in engines
+    assert engines[("batched", 3, None)].batch_size == 3

@@ -2,6 +2,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy (see pytest.ini)
 import torch
 import torch.nn.functional as F
 

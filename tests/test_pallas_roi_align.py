@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pytest.ini)
+
 from detectorch_tpu.ops.pallas.roi_align_kernel import multilevel_roi_align_pallas
 from detectorch_tpu.ops.roi_align import multilevel_roi_align
 

@@ -6,6 +6,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pytest.ini)
+
 from detectorch_tpu.config import PRESETS, RPNConfig, TestConfig
 from detectorch_tpu.models.detector import init_params
 from detectorch_tpu.parallel import mesh as M

@@ -124,3 +124,515 @@ def test_lr_schedule_matches_reference_solver(ref_solver):
             exp = ref_solver.get_lr_at_iter(it)
         got = float(get_lr_at_iter(it, cfg))
         np.testing.assert_allclose(got, exp, rtol=1e-6, err_msg=f"iter {it}")
+
+
+# ---------------------------------------------------------------------------
+# Cython/torch-blocked reference modules, importable via sys.modules stubs
+# (VERDICT r2 item 3). The stubs substitute ONLY the compiled extensions the
+# 2016 repo can't build here: utils_cython.* (backed by the quarantined numpy
+# transcriptions in tests/oracles.py), pycocotools.mask (backed by our
+# byte-compatible RLE codec), and inert placeholders for torch extension
+# modules loss.py imports but the tested functions never touch. Everything
+# under test below is the REFERENCE'S OWN executed code.
+# ---------------------------------------------------------------------------
+
+import sys
+import types
+
+REF_LIB = "/root/reference/lib"
+
+
+def _np_bbox_overlaps(boxes, query_boxes):
+    """Vectorised numpy transcription of cython_bbox.pyx:32-73 (+1 areas),
+    independent of detectorch_tpu (kept separate so stub-backed reference
+    runs are not circular with the jnp implementation they test)."""
+    boxes = np.asarray(boxes, np.float64)
+    query = np.asarray(query_boxes, np.float64)
+    qa = (query[:, 2] - query[:, 0] + 1) * (query[:, 3] - query[:, 1] + 1)
+    iw = (np.minimum(boxes[:, None, 2], query[None, :, 2])
+          - np.maximum(boxes[:, None, 0], query[None, :, 0]) + 1)
+    ih = (np.minimum(boxes[:, None, 3], query[None, :, 3])
+          - np.maximum(boxes[:, None, 1], query[None, :, 1]) + 1)
+    iw = np.maximum(iw, 0)
+    ih = np.maximum(ih, 0)
+    inter = iw * ih
+    ba = (boxes[:, 2] - boxes[:, 0] + 1) * (boxes[:, 3] - boxes[:, 1] + 1)
+    ua = ba[:, None] + qa[None, :] - inter
+    ovr = np.where(inter > 0, inter / np.where(ua == 0, 1, ua), 0.0)
+    return ovr
+
+
+@contextlib.contextmanager
+def _ref_stub_modules():
+    from tests import oracles
+
+    saved = {}
+
+    def reg(name, mod):
+        saved[name] = sys.modules.get(name)
+        sys.modules[name] = mod
+
+    cy_nms = types.ModuleType("utils_cython.cython_nms")
+    cy_nms.nms = lambda dets, thresh: oracles.np_nms(
+        np.asarray(dets), thresh, kind="stable"
+    )
+
+    def _soft(dets, sigma, Nt, threshold, method):
+        out, keep = oracles.np_soft_nms(
+            np.asarray(dets, np.float32), float(sigma), float(Nt),
+            float(threshold), int(method),
+        )
+        return out.astype(np.float32), keep
+
+    cy_nms.soft_nms = _soft
+    cy_bbox = types.ModuleType("utils_cython.cython_bbox")
+    cy_bbox.bbox_overlaps = _np_bbox_overlaps
+    cy_pkg = types.ModuleType("utils_cython")
+    cy_pkg.cython_nms = cy_nms
+    cy_pkg.cython_bbox = cy_bbox
+    reg("utils_cython", cy_pkg)
+    reg("utils_cython.cython_nms", cy_nms)
+    reg("utils_cython.cython_bbox", cy_bbox)
+
+    from detectorch_tpu.eval import rle as rle_mod
+
+    def _mask_encode(arr):
+        arr = np.asarray(arr)
+        assert arr.ndim == 3
+        out = []
+        for i in range(arr.shape[2]):
+            r = rle_mod.encode(np.asfortranarray(arr[:, :, i]))
+            counts = r["counts"]
+            if isinstance(counts, str):
+                counts = counts.encode("ascii")
+            out.append({"size": r["size"], "counts": counts})
+        return out
+
+    mask_stub = types.ModuleType("pycocotools.mask")
+    mask_stub.encode = _mask_encode
+    mask_stub.decode = lambda r: rle_mod.decode(r)
+    coco_pkg = types.ModuleType("pycocotools")
+    coco_pkg.mask = mask_stub
+    reg("pycocotools", coco_pkg)
+    reg("pycocotools.mask", mask_stub)
+
+    try:
+        yield reg
+    finally:
+        for name, old in saved.items():
+            if old is None:
+                sys.modules.pop(name, None)
+            else:
+                sys.modules[name] = old
+
+
+def _load_ref_stubbed(relpath, name, extra=None):
+    """Exec a reference module by path with the stub modules registered."""
+    with _ref_stub_modules() as reg:
+        if extra:
+            extra(reg)
+        spec = importlib.util.spec_from_file_location(
+            f"ref_stub_{name}", f"{REF_LIB}/{relpath}"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        with _np_compat():
+            spec.loader.exec_module(mod)
+        return mod
+
+
+@pytest.fixture(scope="module")
+def ref_boxes():
+    return _load_ref_stubbed("utils/boxes.py", "boxes")
+
+
+def _with_utils_pkg(ref_boxes_mod):
+    """Register a fake `utils` package exposing the loaded reference boxes
+    (result_utils.py / multilevel_rois.py do `import utils.boxes`)."""
+
+    def extra(reg):
+        utils_pkg = types.ModuleType("utils")
+        utils_pkg.boxes = ref_boxes_mod
+        reg("utils", utils_pkg)
+        reg("utils.boxes", ref_boxes_mod)
+
+    return extra
+
+
+@pytest.fixture(scope="module")
+def ref_result_utils(ref_boxes):
+    return _load_ref_stubbed(
+        "utils/result_utils.py", "result_utils", _with_utils_pkg(ref_boxes)
+    )
+
+
+@pytest.fixture(scope="module")
+def ref_multilevel(ref_boxes):
+    return _load_ref_stubbed(
+        "utils/multilevel_rois.py", "multilevel_rois", _with_utils_pkg(ref_boxes)
+    )
+
+
+@pytest.fixture(scope="module")
+def ref_sample_rois():
+    return _load_ref_stubbed("utils/fast_rcnn_sample_rois.py", "sample_rois")
+
+
+@pytest.fixture(scope="module")
+def ref_loss():
+    def extra(reg):
+        tv = types.ModuleType("torchvision")
+        tv.models = types.ModuleType("torchvision.models")
+        reg("torchvision", tv)
+        reg("torchvision.models", tv.models)
+        for name, attrs in [
+            ("model.roi_align", {"RoIAlign": object}),
+            ("model.generate_proposals", {"GenerateProposals": object}),
+            ("utils.utils", {"isnan": lambda x: False,
+                             "infbreak": lambda *a: None,
+                             "printmax": lambda *a: None}),
+        ]:
+            m = types.ModuleType(name)
+            for k, v in attrs.items():
+                setattr(m, k, v)
+            pkg_name = name.split(".")[0]
+            pkg = sys.modules.get(pkg_name) or types.ModuleType(pkg_name)
+            setattr(pkg, name.split(".")[1], m)
+            reg(pkg_name, pkg)
+            reg(name, m)
+
+    return _load_ref_stubbed("model/loss.py", "loss", extra)
+
+
+@pytest.fixture(scope="module")
+def ref_utils_mod():
+    return _load_ref_stubbed("utils/utils.py", "utils_utils")
+
+
+def _rand_boxes(rng, n, im_h=480, im_w=640):
+    x1 = rng.uniform(0, im_w - 20, n)
+    y1 = rng.uniform(0, im_h - 20, n)
+    w = rng.uniform(4, 200, n)
+    h = rng.uniform(4, 200, n)
+    return np.stack(
+        [x1, y1, np.minimum(x1 + w, im_w - 1), np.minimum(y1 + h, im_h - 1)],
+        axis=1,
+    ).astype(np.float32)
+
+
+def test_bbox_transform_matches_reference_boxes_py(ref_boxes, rng):
+    """Our delta decode vs the reference's own bbox_transform
+    (boxes.py:168-208), incl. the 4.1352 exp clip on huge deltas."""
+    from detectorch_tpu.ops import boxes as our
+
+    base = _rand_boxes(rng, 64)
+    deltas = rng.randn(64, 4 * 5).astype(np.float32)
+    deltas[:4] *= 10.0  # exercise the exp clip
+    for weights in [(1.0, 1.0, 1.0, 1.0), (10.0, 10.0, 5.0, 5.0)]:
+        with _np_compat():
+            exp = ref_boxes.bbox_transform(base, deltas, weights)
+        got = np.asarray(our.bbox_transform(base, deltas, weights))
+        np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-2)
+
+
+def test_bbox_transform_inv_matches_reference_boxes_py(ref_boxes, rng):
+    from detectorch_tpu.ops import boxes as our
+
+    base = _rand_boxes(rng, 64)
+    gt = _rand_boxes(rng, 64)
+    for weights in [(1.0, 1.0, 1.0, 1.0), (10.0, 10.0, 5.0, 5.0)]:
+        with _np_compat():
+            exp = ref_boxes.bbox_transform_inv(base, gt, weights)
+        got = np.asarray(our.bbox_transform_inv(base, gt, weights))
+        np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-3)
+
+
+def test_clip_tiled_boxes_matches_reference(ref_boxes, rng):
+    from detectorch_tpu.ops import boxes as our
+
+    tiled = np.concatenate(
+        [_rand_boxes(rng, 40) + rng.uniform(-100, 100, (40, 4)) for _ in range(3)],
+        axis=1,
+    )
+    with _np_compat():
+        exp = ref_boxes.clip_tiled_boxes(tiled.copy(), (480, 640, 3))
+    got = np.asarray(our.clip_boxes(tiled.reshape(40, 3, 4), 480.0, 640.0))
+    np.testing.assert_allclose(got.reshape(40, -1), exp, rtol=1e-6)
+
+
+@pytest.mark.parametrize("method,beta", [
+    ("ID", 1.0), ("TEMP_AVG", 1.0), ("TEMP_AVG", 2.0), ("AVG", 1.0),
+    ("IOU_AVG", 1.0), ("GENERALIZED_AVG", 2.0), ("QUASI_SUM", 1.0),
+])
+def test_box_voting_matches_reference(ref_boxes, rng, method, beta):
+    """Our fixed-shape box_voting vs the reference's loop implementation
+    (boxes.py:280-329), all scoring methods."""
+    from detectorch_tpu.ops import boxes as our
+
+    all_boxes = _rand_boxes(rng, 60)
+    # clustered: make voters overlap the tops
+    all_boxes[30:] = all_boxes[:30] + rng.uniform(-8, 8, (30, 4)).astype(np.float32)
+    all_scores = rng.uniform(0.05, 0.95, 60).astype(np.float32)
+    top_idx = np.argsort(-all_scores)[:10]
+    top = np.hstack([all_boxes[top_idx], all_scores[top_idx, None]])
+    alld = np.hstack([all_boxes, all_scores[:, None]])
+    with _np_compat():
+        exp = ref_boxes.box_voting(top.copy(), alld, 0.5,
+                                   scoring_method=method, beta=beta)
+    got_boxes, got_scores = our.box_voting(
+        all_boxes[top_idx], all_scores[top_idx], all_boxes, all_scores,
+        np.ones(60, bool), 0.5, method, beta,
+    )
+    np.testing.assert_allclose(np.asarray(got_boxes), exp[:, :4],
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_scores), exp[:, 4],
+                               rtol=1e-4, atol=1e-5)
+
+
+def _fake_head_outputs(rng, n=120, num_classes=81, im_h=480, im_w=640):
+    """Random per-roi head outputs with a few strong classes so NMS and the
+    global cap both engage."""
+    rois = _rand_boxes(rng, n, im_h, im_w)
+    logits = rng.randn(n, num_classes).astype(np.float32) * 2.0
+    strong = rng.randint(1, num_classes, n)
+    logits[np.arange(n), strong] += 4.0
+    scores = np.exp(logits) / np.exp(logits).sum(axis=1, keepdims=True)
+    deltas = (rng.randn(n, 4 * num_classes).astype(np.float32) * 0.3)
+    return rois, scores, deltas
+
+
+@pytest.mark.parametrize("soft", [False, True])
+def test_postprocess_matches_reference_result_utils(
+    ref_result_utils, rng, soft
+):
+    """Full decode+per-class-NMS+global-cap vs the reference's own
+    postprocess_output / box_results_with_nms_and_limit (result_utils.py:
+    76-168) executed with numpy-oracle cython stubs. This replaces the
+    hand transcription in tests/torch_mirror.py as the unit-level oracle."""
+    import torch
+
+    from detectorch_tpu.config import TestConfig
+    from detectorch_tpu.eval.postprocess import postprocess_detections
+
+    rois, scores, deltas = _fake_head_outputs(rng)
+    n = len(rois)
+    im_scale = 1.6
+    with _np_compat():
+        exp_scores, exp_boxes, cls_boxes = ref_result_utils.postprocess_output(
+            torch.from_numpy(rois * im_scale)[None],
+            torch.tensor(im_scale),
+            torch.tensor([480.0, 640.0]),
+            torch.from_numpy(scores),
+            torch.from_numpy(deltas),
+        )
+        if soft:
+            # postprocess_output hard-wires greedy NMS; call the inner
+            # function directly for the soft-NMS variant
+            pred = ref_result_utils.box_utils.bbox_transform(
+                rois, deltas, (10.0, 10.0, 5.0, 5.0)
+            )
+            pred = ref_result_utils.box_utils.clip_tiled_boxes(
+                pred, (480, 640, 3)
+            )
+            exp_scores, exp_boxes, cls_boxes = (
+                ref_result_utils.box_results_with_nms_and_limit(
+                    scores, pred, do_soft_nms=True
+                )
+            )
+
+    tcfg = TestConfig(soft_nms=soft)
+    det = postprocess_detections(
+        scores, deltas, rois * im_scale, np.ones(n, bool),
+        im_scale, 480.0, 640.0, tcfg,
+    )
+    ok = np.asarray(det.valid)
+    got_scores = np.asarray(det.scores)[ok]
+    got_boxes = np.asarray(det.boxes)[ok]
+    got_cls = np.asarray(det.classes)[ok]
+    assert len(got_scores) == len(exp_scores)
+    # reference output is class-major; ours too (top_k over class-major flat)
+    exp_cls = np.concatenate(
+        [np.full(len(cls_boxes[j]), j) for j in range(1, 81)]
+    )
+    order = np.lexsort((exp_scores, exp_cls))
+    gorder = np.lexsort((got_scores, got_cls))
+    np.testing.assert_array_equal(got_cls[gorder], exp_cls[order])
+    np.testing.assert_allclose(got_scores[gorder], exp_scores[order],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(got_boxes[gorder], exp_boxes[order],
+                               rtol=1e-3, atol=0.15)
+
+
+def test_segm_results_matches_reference(ref_result_utils, rng):
+    """Mask paste + RLE vs the reference's segm_results (result_utils.py:
+    170-228) with our codec behind the pycocotools stub; byte-identical
+    counts prove paste geometry, binarize, 1px pad and expand all agree."""
+    from detectorch_tpu.eval import mask_paste
+
+    M = 14
+    k = 12
+    boxes = _rand_boxes(rng, k, 240, 320)
+    classes = rng.randint(1, 81, k)
+    masks_full = rng.uniform(0, 1, (k, 81, M, M)).astype(np.float32)
+    # reference consumes class-major detections; build cls_boxes to match
+    cls_boxes = [[] for _ in range(81)]
+    order = np.argsort(classes, kind="stable")
+    for i in order:
+        cls_boxes[classes[i]].append(
+            np.hstack([boxes[i], [0.9]]).astype(np.float32)
+        )
+    cls_boxes = [
+        np.array(v, np.float32).reshape(-1, 5) for v in cls_boxes
+    ]
+    with _np_compat():
+        exp = ref_result_utils.segm_results(
+            cls_boxes, masks_full[order], boxes[order], 240, 320, M=M
+        )
+    exp_flat = [r for j in range(1, 81) for r in exp[j]]
+
+    got = mask_paste.segm_results(
+        masks_full[order, classes[order]], boxes[order], 240, 320, M
+    )
+    assert len(got) == len(exp_flat) == k
+    for g, e in zip(got, exp_flat):
+        assert g["size"] == e["size"]
+        gc = g["counts"]
+        assert (gc if isinstance(gc, str) else gc.decode()) == e["counts"]
+
+
+def test_fpn_level_mapping_matches_reference(ref_multilevel, rng):
+    from detectorch_tpu.ops.fpn_levels import map_rois_to_fpn_levels
+
+    boxes = np.concatenate([
+        _rand_boxes(rng, 50, 800, 1333),
+        # edge sizes around the 224 canonical scale and tiny/huge extremes
+        np.array([[0, 0, 223, 223], [0, 0, 224, 224], [0, 0, 1, 1],
+                  [0, 0, 1332, 799], [10, 10, 10 + 111, 10 + 447]], np.float32),
+    ])
+    with _np_compat():
+        exp = ref_multilevel.map_rois_to_fpn_levels(boxes, 2, 5)
+    got = np.asarray(map_rois_to_fpn_levels(boxes, 2, 5))
+    np.testing.assert_array_equal(got, exp.astype(np.int32))
+
+
+def test_multilevel_blob_restore_roundtrip(ref_multilevel, rng):
+    """The reference's level-splitting restore-index machinery really is a
+    permutation inverse (our design folds this into gather offsets; this
+    pins the semantics our folded form must preserve)."""
+    # 4-col rois: the reference's test-time caller passes xyxy without the
+    # batch column (preprocess_sample.py:43-45; the :53 slice variant is
+    # commented out, and add_multilevel_roi_blobs' sanity assert is
+    # hard-wired to 4 columns)
+    rois = _rand_boxes(rng, 40, 800, 1333)
+    blobs = {"rois": rois}
+    with _np_compat():
+        ref_multilevel.add_multilevel_rois_for_test(blobs, "rois")
+    stacked = np.vstack([blobs[f"rois_fpn{l}"] for l in range(2, 6)])
+    restore = blobs["rois_idx_restore_int32"]
+    np.testing.assert_array_equal(stacked[restore], rois)
+
+
+def test_fast_rcnn_sample_rois_matches_reference(ref_sample_rois, rng):
+    """Seeded sampling: the reference's fast_rcnn_sample_rois and our
+    train/sampler.py draw identical fg/bg choices from the same legacy
+    MT19937 stream and produce identical labels/targets/weights."""
+    from detectorch_tpu.data.coco import RoidbEntry
+    from detectorch_tpu.train.sampler import SamplerConfig, sample_rois
+
+    n = 300
+    boxes = _rand_boxes(rng, n)
+    max_overlaps = rng.uniform(0, 1, n).astype(np.float32)
+    max_classes = rng.randint(1, 81, n)
+    compact = np.zeros((n, 5), np.float32)
+    compact[:, 0] = max_classes
+    compact[:, 1:] = rng.randn(n, 4) * 0.2
+    roidb = {
+        "max_overlaps": max_overlaps,
+        "max_classes": max_classes.copy(),
+        "boxes": boxes,
+        "gt_classes": np.zeros(n, np.int32),
+        "box_to_gt_ind_map": np.zeros(n, np.int32),
+        "bbox_targets": compact,
+    }
+    im_scale = 1.5
+    np.random.seed(1234)
+    with _np_compat():
+        exp = ref_sample_rois.fast_rcnn_sample_rois(roidb, im_scale, 0)
+
+    entry = RoidbEntry(
+        image_id=0, file_path="", height=480, width=640, boxes=boxes,
+        gt_classes=np.zeros(n, np.int32), is_crowd=np.zeros(n, np.uint8),
+        max_overlaps=max_overlaps, max_classes=max_classes.copy(),
+        box_to_gt_ind_map=np.zeros(n, np.int32), bbox_targets=compact,
+    )
+    got = sample_rois(entry, im_scale, np.random.RandomState(1234),
+                      SamplerConfig())
+    nv = int(got["valid"].sum())
+    assert nv == exp["rois"].shape[0]
+    np.testing.assert_array_equal(got["labels"][:nv], exp["labels_int32"])
+    np.testing.assert_allclose(got["rois"][:nv], exp["rois"][:, 1:], rtol=1e-6)
+    np.testing.assert_allclose(got["bbox_targets"][:nv], exp["bbox_targets"],
+                               rtol=1e-6)
+    np.testing.assert_array_equal(got["bbox_inside_weights"][:nv],
+                                  exp["bbox_inside_weights"])
+    np.testing.assert_array_equal(got["bbox_outside_weights"][:nv],
+                                  exp["bbox_outside_weights"])
+
+
+def test_smooth_l1_and_accuracy_match_reference_loss(ref_loss, rng):
+    """Our jnp losses vs the reference's own torch smooth_L1/accuracy
+    (loss.py:13-26) executed here (torch is in the image)."""
+    import torch
+
+    from detectorch_tpu.train.losses import accuracy, smooth_l1
+
+    n, d = 64, 324
+    pred = rng.randn(n, d).astype(np.float32)
+    targ = rng.randn(n, d).astype(np.float32)
+    a_in = (rng.uniform(0, 1, (n, d)) > 0.5).astype(np.float32)
+    a_out = (rng.uniform(0, 1, (n, d)) > 0.3).astype(np.float32)
+    for beta in [1.0, 0.5]:
+        exp = ref_loss.smooth_L1(
+            torch.from_numpy(pred), torch.from_numpy(targ),
+            torch.from_numpy(a_in), torch.from_numpy(a_out), beta=beta,
+        ).item()
+        got = float(smooth_l1(pred, targ, a_in, a_out, beta=beta))
+        np.testing.assert_allclose(got, exp, rtol=1e-5)
+
+    logits = rng.randn(n, 81).astype(np.float32)
+    labels = rng.randint(0, 81, n)
+    exp = ref_loss.accuracy(
+        torch.from_numpy(logits), torch.from_numpy(labels)
+    ).item()
+    got = float(accuracy(logits, labels))
+    np.testing.assert_allclose(got, exp, rtol=1e-6)
+
+
+def test_parse_th_to_caffe2_matches_our_blob_names(ref_utils_mod):
+    """Every backbone blob name our skeleton uses is exactly what the
+    reference's parse_th_to_caffe2 (utils.py:44-71) produces from the
+    corresponding torchvision parameter name — executed, not transcribed."""
+    from detectorch_tpu.models.resnet import init_resnet_params
+
+    skeleton = init_resnet_params("resnet50", include_c5=True)
+    blocks = [3, 4, 6, 3]
+    produced = set()
+    # stem: conv1.weight / bn1.{weight,bias}
+    produced.add(ref_utils_mod.parse_th_to_caffe2(["conv1", "weight"]))
+    produced.add(ref_utils_mod.parse_th_to_caffe2(["bn1", "weight"]))
+    produced.add(ref_utils_mod.parse_th_to_caffe2(["bn1", "bias"]))
+    for stage, nb in enumerate(blocks, start=1):
+        for b in range(nb):
+            for conv in ["conv1", "conv2", "conv3"]:
+                produced.add(ref_utils_mod.parse_th_to_caffe2(
+                    [f"layer{stage}", str(b), conv, "weight"]))
+            for bn in ["bn1", "bn2", "bn3"]:
+                for p in ["weight", "bias"]:
+                    produced.add(ref_utils_mod.parse_th_to_caffe2(
+                        [f"layer{stage}", str(b), bn, p]))
+            if b == 0:
+                produced.add(ref_utils_mod.parse_th_to_caffe2(
+                    [f"layer{stage}", str(b), "downsample", "0", "weight"]))
+                for p, suffix in [("weight", None), ("bias", None)]:
+                    produced.add(ref_utils_mod.parse_th_to_caffe2(
+                        [f"layer{stage}", str(b), "downsample", "1", p]))
+    assert produced == set(skeleton.keys())

@@ -1,8 +1,11 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 import torch
 import torch.nn.functional as F
+
+pytestmark = pytest.mark.slow  # compile-heavy (see pytest.ini)
 
 from detectorch_tpu.config import PRESETS, SamplerConfig, SolverConfig
 from detectorch_tpu.data.coco import RoidbEntry

@@ -84,7 +84,7 @@ def main():
         cfg, tcfg, params, dataset, limit=2 * args.batch,
         batch_size=args.batch, verbose=False, engines=engines,
     )
-    single = engines["batched"]._single
+    single = engines[("batched", args.batch, None)]._single
     roidb = dataset.get_roidb(gt=False)
     from detectorch_tpu.data.transforms import load_image_rgb
 

@@ -24,6 +24,9 @@ def main():
     p.add_argument("--weights", default=None)
     p.add_argument("--out", default="demo_out.jpg")
     p.add_argument("--thresh", type=float, default=0.7)
+    p.add_argument("--backend", choices=["cv2", "matplotlib"], default="cv2",
+                   help="matplotlib renders polygonised masks and supports "
+                        "pdf output like the reference's vis_one_image")
     args = p.parse_args()
 
     from detectorch_tpu.config import PRESETS, TestConfig
@@ -48,11 +51,23 @@ def main():
     res = engine.run_image(im)
     n = (res["scores"] >= args.thresh).sum()
     print(f"{len(res['scores'])} detections ({n} above {args.thresh})", flush=True)
-    vis_one_image(
-        im, res["boxes"], res["scores"], res["classes"],
-        res.get("rles"), thresh=args.thresh, output_path=args.out,
-    )
-    print(f"wrote {args.out}")
+    if args.backend == "matplotlib":
+        from detectorch_tpu.utils.vis import vis_one_image_matplotlib
+
+        stem, ext = os.path.splitext(args.out)
+        saved = vis_one_image_matplotlib(
+            im, res["boxes"], res["scores"], res["classes"],
+            res.get("rles"), thresh=args.thresh,
+            output_dir=os.path.dirname(args.out) or ".",
+            im_name=os.path.basename(stem), ext=(ext.lstrip(".") or "pdf"),
+        )
+        print(f"wrote {saved}")
+    else:
+        vis_one_image(
+            im, res["boxes"], res["scores"], res["classes"],
+            res.get("rles"), thresh=args.thresh, output_path=args.out,
+        )
+        print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":
