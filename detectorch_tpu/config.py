@@ -162,6 +162,12 @@ class TestConfig:
     # reference's cv2 path to float32 associativity (~1e-4 abs), not
     # bit-for-bit; AP-parity measured unchanged (PARITY.md)
     device_preprocess: bool = False
+    # dtype the batched engine fetches mask probabilities in. 'bfloat16'
+    # (default) halves the dominant device->host payload (the (B,100,28,28)
+    # sigmoid tensor); rounding is ±2^-9 near the 0.5 binarisation
+    # threshold, AP measured unchanged (PARITY.md). Pin 'float32' for
+    # bit-exact mask comparisons against the single-image engine.
+    mask_fetch_dtype: str = "bfloat16"
 
     def replace(self, **kw) -> "TestConfig":
         return dataclasses.replace(self, **kw)

@@ -348,7 +348,7 @@ def add_bbox_regression_targets(
     bbox_reg_weights=(10.0, 10.0, 5.0, 5.0),
 ):
     """reference roidb.py:170-206."""
-    from detectorch_tpu.ops.boxes import bbox_transform_inv
+    from detectorch_tpu.ops.boxes import bbox_transform_inv_np
 
     for e in roidb:
         targets = np.zeros((len(e.boxes), 5), np.float32)
@@ -359,10 +359,9 @@ def add_bbox_regression_targets(
                 ov = _np_bbox_overlaps(e.boxes[ex_inds], e.boxes[gt_inds])
                 assignment = ov.argmax(axis=1)
                 targets[ex_inds, 0] = e.max_classes[ex_inds]
-                targets[ex_inds, 1:] = np.asarray(
-                    bbox_transform_inv(
-                        e.boxes[ex_inds], e.boxes[gt_inds[assignment]], bbox_reg_weights
-                    )
+                targets[ex_inds, 1:] = bbox_transform_inv_np(
+                    e.boxes[ex_inds], e.boxes[gt_inds[assignment]],
+                    bbox_reg_weights,
                 )
         e.bbox_targets = targets
 

@@ -102,7 +102,15 @@ def preprocess_image_pyramid(
 ):
     """Multi-scale image pyramid (reference blob.py:57-87 target_sizes list):
     one (padded image, scale) per target size. Buckets default to exact
-    ceil-to-stride padding since pyramid levels span many shapes."""
+    ceil-to-stride padding since pyramid levels span many shapes.
+
+    Parity note: this capability is LATENT in the reference too —
+    `prep_im_for_blob` accepts a target_sizes list, but every notebook and
+    script passes exactly one size, and the repo contains no cross-scale
+    detection merging (no TEST.BBOX_AUG equivalent). We mirror that state:
+    the pyramid preprocess exists and is tested, and nothing in the engine
+    consumes more than one scale. Wiring multi-scale *inference* would
+    require inventing merge semantics the reference does not define."""
     out = []
     for ts in target_sizes:
         out.append(

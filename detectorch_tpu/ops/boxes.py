@@ -12,6 +12,7 @@ All functions accept boxes in (x1, y1, x2, y2) layout, shape (..., 4).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from detectorch_tpu.config import BBOX_XFORM_CLIP
 
@@ -87,6 +88,34 @@ def bbox_transform(boxes, deltas, weights=(1.0, 1.0, 1.0, 1.0)):
         axis=-1,
     )
     return out.reshape(shape)
+
+
+def bbox_transform_inv_np(boxes, gt_boxes, weights=(1.0, 1.0, 1.0, 1.0)):
+    """Pure-numpy target encoding for HOST-side data prep (roidb target
+    precompute, roi sampler): identical formula to `bbox_transform_inv`
+    below, but never touches the device — on a remote/tunneled backend a
+    stray jnp call from a loader path costs a full RPC round trip (and can
+    hang the loop if the backend wedges)."""
+    boxes = np.asarray(boxes, np.float32)
+    gt_boxes = np.asarray(gt_boxes, np.float32)
+    ex_w = boxes[..., 2] - boxes[..., 0] + 1.0
+    ex_h = boxes[..., 3] - boxes[..., 1] + 1.0
+    ex_cx = boxes[..., 0] + 0.5 * ex_w
+    ex_cy = boxes[..., 1] + 0.5 * ex_h
+    gt_w = gt_boxes[..., 2] - gt_boxes[..., 0] + 1.0
+    gt_h = gt_boxes[..., 3] - gt_boxes[..., 1] + 1.0
+    gt_cx = gt_boxes[..., 0] + 0.5 * gt_w
+    gt_cy = gt_boxes[..., 1] + 0.5 * gt_h
+    wx, wy, ww, wh = weights
+    return np.stack(
+        [
+            wx * (gt_cx - ex_cx) / ex_w,
+            wy * (gt_cy - ex_cy) / ex_h,
+            ww * np.log(gt_w / ex_w),
+            wh * np.log(gt_h / ex_h),
+        ],
+        axis=-1,
+    )
 
 
 def bbox_transform_inv(boxes, gt_boxes, weights=(1.0, 1.0, 1.0, 1.0)):

@@ -36,11 +36,17 @@ def sample_rois(
     rng: np.random.RandomState,
     cfg: SamplerConfig = SamplerConfig(),
     num_classes: int = 81,
+    compact_targets: bool = False,
 ) -> Dict[str, np.ndarray]:
     """One image -> fixed-shape training blobs.
 
     Returns rois (R,4 scaled), labels (R,), bbox_targets (R,4K),
     bbox_inside_weights, bbox_outside_weights, valid (R,).
+
+    compact_targets=True skips the host-side 4K expansion and returns
+    bbox_targets_compact (R,5) [cls,tx,ty,tw,th] instead — the jitted step
+    expands on device (train_step.expand_bbox_targets_device), cutting the
+    per-image upload from 3x(R,4K) fp32 (~2 MB) to (R,5) (~10 KB).
     """
     rois_per_image = cfg.rois_per_image
     fg_per_image = int(np.round(cfg.fg_fraction * rois_per_image))
@@ -65,32 +71,36 @@ def sample_rois(
     if entry.bbox_targets is not None:
         compact = entry.bbox_targets[keep]
     else:
-        from detectorch_tpu.ops.boxes import bbox_transform_inv
+        from detectorch_tpu.ops.boxes import bbox_transform_inv_np
 
         gt_inds = np.where(entry.gt_classes > 0)[0]
         assignments = gt_inds[entry.box_to_gt_ind_map[keep]]
         compact = np.zeros((len(keep), 5), np.float32)
         compact[:, 0] = labels
-        compact[:, 1:] = np.asarray(
-            bbox_transform_inv(boxes, entry.boxes[assignments], (10.0, 10.0, 5.0, 5.0))
+        compact[:, 1:] = bbox_transform_inv_np(
+            boxes, entry.boxes[assignments], (10.0, 10.0, 5.0, 5.0)
         )
-    targets, inside = expand_bbox_targets(compact, num_classes)
-    outside = (inside > 0).astype(np.float32)
-
     n = len(keep)
     r = rois_per_image
     out = {
         "rois": np.zeros((r, 4), np.float32),
         "labels": np.zeros(r, np.int32),
-        "bbox_targets": np.zeros((r, 4 * num_classes), np.float32),
-        "bbox_inside_weights": np.zeros((r, 4 * num_classes), np.float32),
-        "bbox_outside_weights": np.zeros((r, 4 * num_classes), np.float32),
         "valid": np.zeros(r, bool),
     }
     out["rois"][:n] = boxes * im_scale
     out["labels"][:n] = labels
+    out["valid"][:n] = True
+    if compact_targets:
+        out["bbox_targets_compact"] = np.zeros((r, 5), np.float32)
+        out["bbox_targets_compact"][:n] = compact
+        # background rows carry cls<=0 => zero targets/weights on device
+        return out
+    targets, inside = expand_bbox_targets(compact, num_classes)
+    outside = (inside > 0).astype(np.float32)
+    out["bbox_targets"] = np.zeros((r, 4 * num_classes), np.float32)
+    out["bbox_inside_weights"] = np.zeros((r, 4 * num_classes), np.float32)
+    out["bbox_outside_weights"] = np.zeros((r, 4 * num_classes), np.float32)
     out["bbox_targets"][:n] = targets
     out["bbox_inside_weights"][:n] = inside
     out["bbox_outside_weights"][:n] = outside
-    out["valid"][:n] = True
     return out

@@ -77,19 +77,76 @@ def box_branch_loss(params, cfg: ModelConfig, image, rois, labels,
     }
 
 
-def make_train_step(cfg: ModelConfig, solver_cfg: SolverConfig = SolverConfig()):
+def expand_bbox_targets_device(compact, num_classes: int):
+    """Device-side 4-of-4K expansion (reference fast_rcnn_sample_rois.py:
+    139-163 / our train/sampler.expand_bbox_targets, moved into the jitted
+    step so the host uploads the COMPACT (R, 5) form — the (R, 4K) fp32
+    expansion plus its two weight tensors is ~8 MB per 4-image batch of
+    pure zero-padding traffic).
+
+    compact (R, 5) [cls, tx, ty, tw, th] -> (targets (R, 4K), inside (R, 4K)).
+    """
+    cls = compact[:, 0].astype(jnp.int32)
+    onehot = (
+        (cls[:, None] == jnp.arange(num_classes, dtype=jnp.int32)[None, :])
+        & (cls > 0)[:, None]
+    ).astype(compact.dtype)                       # (R, K)
+    targets = (onehot[:, :, None] * compact[:, None, 1:5]).reshape(
+        compact.shape[0], 4 * num_classes
+    )
+    inside = jnp.repeat(onehot, 4, axis=1)
+    return targets, inside
+
+
+def make_train_step(cfg: ModelConfig, solver_cfg: SolverConfig = SolverConfig(),
+                    device_input: bool = False,
+                    blob_hw: Tuple[int, int] = (1344, 1344)):
     """Returns (init_state, step_fn) for batched Fast R-CNN training.
 
     step_fn(state, batch) -> (state, metrics); batch is a dict of arrays with
-    leading batch axis: image (B,H,W,3), rois (B,R,4), labels (B,R),
-    bbox_targets (B,R,4K), bbox_inside_weights, bbox_outside_weights,
-    valid (B,R).
+    leading batch axis.
+
+    device_input=False (host-blob schema): image (B,H,W,3) fp32, rois
+    (B,R,4), labels (B,R), bbox_targets (B,R,4K), bbox_inside_weights,
+    bbox_outside_weights, valid (B,R).
+
+    device_input=True (uint8 schema, ~10x less H2D per iter): raw
+    (B,RH,RW,3) uint8, tables (B,4,L) fp32, meta (B,7) fp32 (the
+    data/device_input.prepare_raw packing; horizontal flips are applied to
+    the uint8 pixels host-side, exactly like the reference flips before
+    resizing — coco_dataset.py:52-53), rois, labels, valid as above, and
+    bbox_targets_compact (B,R,5) which the step expands to the 4K form +
+    weight tensors on device.
     """
     def batched_loss(params, batch):
         def one(image, rois, labels, t, iw, ow, valid):
             return box_branch_loss(
                 params, cfg, image, rois, labels, t, iw, ow, valid
             )
+
+        if device_input:
+            from detectorch_tpu.data.device_input import device_preprocess
+
+            def one_raw(raw, tables, meta, rois, labels, compact, valid):
+                out_h, out_w = blob_hw  # static: the fixed training bucket
+                image = device_preprocess(
+                    raw,
+                    tables[0, :out_h].astype(jnp.int32), tables[1, :out_h],
+                    tables[2, :out_w].astype(jnp.int32), tables[3, :out_w],
+                    meta[0].astype(jnp.int32), meta[1].astype(jnp.int32),
+                    meta[2].astype(jnp.int32), meta[3].astype(jnp.int32),
+                )
+                t, iw = expand_bbox_targets_device(compact, cfg.num_classes)
+                ow = (iw > 0).astype(iw.dtype)
+                return one(image, rois, labels, t, iw, ow, valid)
+
+            total, metrics = jax.vmap(
+                one_raw, in_axes=(0, 0, 0, 0, 0, 0, 0)
+            )(
+                batch["raw"], batch["tables"], batch["meta"], batch["rois"],
+                batch["labels"], batch["bbox_targets_compact"], batch["valid"],
+            )
+            return jnp.mean(total), jax.tree.map(jnp.mean, metrics)
 
         total, metrics = jax.vmap(one)(
             batch["image"], batch["rois"], batch["labels"],

@@ -48,8 +48,27 @@ HARNESS_TCFG = TestConfig(
     target_size=256, max_size=320, exact_blob_dims=True, max_proposals=256
 )
 
+# Production-shape configuration (VERDICT r2 item 1): the reference's real
+# test-time counts — 800/1333 resize, C4 RPN 6000->1000
+# (generate_proposals.py:13-29 defaults) / FPN 1000 per level
+# (detector.py:203-207), 1000 rois through the heads, 100-detection global
+# cap (result_utils.py:96-168). This regime exercises the top-k/tie
+# behaviour the CI-sized harness cannot (SURVEY "Hard parts"); it is
+# CPU-expensive, so it runs via `tools/ap_parity.py --shapes production`
+# (recorded in AP_PARITY.json), not in the default suite.
+PRODUCTION_TCFG = TestConfig(
+    target_size=800, max_size=1333, exact_blob_dims=True, max_proposals=1000
+)
 
-def harness_cfg(preset: str):
+
+def harness_cfg(preset: str, shapes: str = "harness"):
+    if shapes == "production":
+        cfg = PRESETS[preset].replace(
+            compute_dtype="float32",
+            roi_align_precision="highest",
+            # full production RPN counts (the preset defaults)
+        )
+        return cfg, PRODUCTION_TCFG
     cfg = PRESETS[preset].replace(
         compute_dtype="float32",
         # bit-parity configuration: the proof runs exact fp32 RoIAlign
@@ -278,13 +297,20 @@ def _mask_trunk_feats(cfg, params, backbone, rois):
     return x.detach().numpy()
 
 
-def make_probe_weights(family: str, dataset: CocoDataset, cache_root: str = HARNESS_ROOT):
-    cache = os.path.join(cache_root, f"weights_{family}_v3.pkl")
+def make_probe_weights(family: str, dataset: CocoDataset, cache_root: str = HARNESS_ROOT,
+                       shapes: str = "harness"):
+    """Probe weights for one backbone family. `shapes='production'` trains
+    the probes on 800/1333-scale mirror features (cached separately):
+    probes trained at the 256-scale harness regime are degenerate at
+    production scale (the backbone features they were fit to shift with
+    input resolution), measured AP ~0."""
+    suffix = "_v3" if shapes == "harness" else f"_{shapes}_v3"
+    cache = os.path.join(cache_root, f"weights_{family}{suffix}.pkl")
     if os.path.exists(cache):
         with open(cache, "rb") as f:
             return pickle.load(f)
 
-    cfg, tcfg = harness_cfg(FAMILY_PRESET[family])
+    cfg, tcfg = harness_cfg(FAMILY_PRESET[family], shapes=shapes)
     seed = {"r50_c4": 101, "r50_fpn": 202, "r101_fpn": 303}[family]
     rng = np.random.RandomState(seed)
     params = _perturb_bn(

@@ -50,14 +50,17 @@ def synth():
     return prepare_dataset()
 
 
-def run_preset_parity(preset, dataset, proposals_file):
-    cfg, tcfg = harness_cfg(preset)
-    params = make_probe_weights(family_of(preset), dataset)
+def run_preset_parity(preset, dataset, proposals_file, shapes="harness",
+                      limit=None):
+    cfg, tcfg = harness_cfg(preset, shapes=shapes)
+    params = make_probe_weights(family_of(preset), dataset, shapes=shapes)
     roidb = (
         dataset.get_roidb(gt=False)
         if cfg.use_rpn
         else dataset.get_roidb(gt=False, proposal_file=proposals_file)
     )
+    if limit:
+        roidb = roidb[:limit]
     ours_bbox, ours_segm, results = evaluate_dataset(
         cfg, tcfg, params, dataset, roidb=roidb, verbose=False
     )

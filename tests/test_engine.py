@@ -210,3 +210,51 @@ def test_evaluate_dataset_engines_reuse(tiny_coco, rng):
                      batch_size=3, engines=engines)
     assert ("batched", 3, None) in engines
     assert engines[("batched", 3, None)].batch_size == 3
+
+
+def test_batched_mask_fetch_dtypes(tiny_coco, rng):
+    """The batched engine fetches masks as bf16 by default (halves the
+    dominant D2H payload). With mask_fetch_dtype='float32' pinned, the
+    batched RLEs are byte-identical to the single-image engine's; the bf16
+    default may flip isolated pixels within +-2^-9 of the binarisation
+    threshold, never more (here random weights put sigmoid mass right at
+    0.5 — the adversarial case; real masks are confident)."""
+    from detectorch_tpu.eval import rle as rle_mod
+
+    ann, imdir = tiny_coco
+    ds = CocoDataset(ann, imdir)
+    cfg = PRESETS["e2e_mask_rcnn_R-50-FPN_2x"].replace(compute_dtype="float32")
+    cfg = cfg.replace(rpn=cfg.rpn.__class__(pre_nms_top_n=100, post_nms_top_n=20))
+    base = TestConfig(target_size=64, max_size=96, detections_per_img=5,
+                      score_thresh=0.0)
+    params = init_params(cfg, seed=0)
+    # random weights put every sigmoid within one bf16 ulp of 0.5 — the
+    # degenerate all-pixels-tie case no trained model produces. Push the
+    # mask logits to confident values (like real weights) via the bias.
+    params = dict(params)
+    b = np.asarray(params["mask_fcn_logits_b"]).copy()
+    b[0::2] = 3.0
+    b[1::2] = -3.0
+    params["mask_fcn_logits_b"] = b
+    _, _, single = evaluate_dataset(cfg, base, params, ds, verbose=False)
+    _, _, exact = evaluate_dataset(
+        cfg, base.replace(mask_fetch_dtype="float32"), params, ds,
+        verbose=False, batch_size=2,
+    )
+    _, _, bf16 = evaluate_dataset(
+        cfg, base, params, ds, verbose=False, batch_size=2
+    )
+
+    def keyed(info):
+        return sorted(info["segm"], key=lambda r: (r["image_id"], -r["score"]))
+
+    s, e, b = keyed(single), keyed(exact), keyed(bf16)
+    assert len(s) == len(e) == len(b) > 0
+    for rs, re_, rb in zip(s, e, b):
+        assert rs["segmentation"] == re_["segmentation"]  # fp32: byte-equal
+        ms = rle_mod.decode(rs["segmentation"])
+        mb = rle_mod.decode(rb["segmentation"])
+        inter = np.logical_and(ms, mb).sum()
+        union = np.logical_or(ms, mb).sum()
+        if union:
+            assert inter / union > 0.95, (inter, union)

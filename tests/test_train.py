@@ -205,3 +205,89 @@ def test_checkpoint_save_restore(tmp_path, rng):
     restored = store.restore_checkpoint(store.latest_checkpoint(str(tmp_path)), tree)
     np.testing.assert_array_equal(restored["params"]["w"], tree["params"]["w"])
     assert int(restored["step"]) == 7
+
+
+def test_expand_bbox_targets_device_matches_host(rng):
+    """Device-side 4-of-4K expansion == the host sampler's (which is itself
+    verified against the reference's _expand_bbox_targets)."""
+    from detectorch_tpu.train.train_step import expand_bbox_targets_device
+
+    n, k = 64, 81
+    compact = np.zeros((n, 5), np.float32)
+    cls = rng.randint(0, k, n)
+    compact[:, 0] = cls
+    compact[:, 1:] = rng.randn(n, 4)
+    t_host, iw_host = S.expand_bbox_targets(compact, k)
+    t_dev, iw_dev = expand_bbox_targets_device(jnp.asarray(compact), k)
+    np.testing.assert_array_equal(np.asarray(t_dev), t_host)
+    np.testing.assert_array_equal(np.asarray(iw_dev), iw_host)
+
+
+def test_train_step_device_input_matches_host_blob(rng):
+    """The uint8 device-input schema (raw + tables + meta + compact
+    targets) must produce the same loss and the same update as the
+    host-blob schema on identical data — the resize differs from cv2 only
+    in float32 blend order."""
+    from detectorch_tpu.data.device_input import prepare_raw
+
+    cfg = PRESETS["fast_rcnn_R-50-C4_2x"].replace(compute_dtype="float32")
+    params = init_params(cfg, seed=0)
+    solver = SolverConfig(base_lr=1e-4, warmup_iters=0, weight_decay=0.0)
+
+    blob_hw = (96, 128)
+    im = (rng.uniform(size=(70, 100, 3)) * 255).astype(np.uint8)
+    raw, m = prepare_raw(im, target_size=64, max_size=128, buckets=(blob_hw,))
+    scale = m["scale"]
+
+    e = make_entry(rng)
+    scfg = SamplerConfig(rois_per_image=32)
+    state_rng = np.random.RandomState(7)
+    b = S.sample_rois(e, scale, state_rng, scfg)
+    state_rng = np.random.RandomState(7)
+    bc = S.sample_rois(e, scale, state_rng, scfg, compact_targets=True)
+    np.testing.assert_array_equal(b["rois"], bc["rois"])
+
+    # host-blob path on the cv2-resized image
+    from detectorch_tpu.data.transforms import preprocess_image
+
+    image, scale2, _ = preprocess_image(im, 64, 128, buckets=(blob_hw,))
+    assert scale2 == scale
+    init_state, make_step = make_train_step(cfg, solver)
+    s1, tx1 = init_state(params)
+    step1 = jax.jit(make_step(tx1))
+    s1, m1 = step1(s1, {
+        "image": image[None], "rois": b["rois"][None],
+        "labels": b["labels"][None], "bbox_targets": b["bbox_targets"][None],
+        "bbox_inside_weights": b["bbox_inside_weights"][None],
+        "bbox_outside_weights": b["bbox_outside_weights"][None],
+        "valid": b["valid"][None],
+    })
+
+    # device-input path on the raw uint8
+    L_ = max(m["out_h"], m["out_w"])
+    tables = np.zeros((4, L_), np.float32)
+    t = m["tables"]
+    tables[0, : m["out_h"]] = t["y_i0"]
+    tables[1, : m["out_h"]] = t["y_w1"]
+    tables[2, : m["out_w"]] = t["x_i0"]
+    tables[3, : m["out_w"]] = t["x_w1"]
+    meta = np.asarray([m["raw_h"], m["raw_w"], m["rsz_h"], m["rsz_w"],
+                       scale, m["orig_h"], m["orig_w"]], np.float32)
+    init_state2, make_step2 = make_train_step(
+        cfg, solver, device_input=True, blob_hw=blob_hw
+    )
+    s2, tx2 = init_state2(params)
+    step2 = jax.jit(make_step2(tx2))
+    s2, m2 = step2(s2, {
+        "raw": raw[None], "tables": tables[None], "meta": meta[None],
+        "rois": bc["rois"][None], "labels": bc["labels"][None],
+        "bbox_targets_compact": bc["bbox_targets_compact"][None],
+        "valid": bc["valid"][None],
+    })
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]),
+                               rtol=1e-4)
+    # updates agree (same data, same optimizer)
+    np.testing.assert_allclose(
+        np.asarray(s2.params["cls_score_w"]),
+        np.asarray(s1.params["cls_score_w"]), rtol=1e-3, atol=1e-6,
+    )

@@ -25,6 +25,16 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="AP_PARITY.json")
+    p.add_argument("--shapes", choices=["harness", "production"],
+                   default="harness",
+                   help="production = 800/1333 resize, full RPN counts "
+                        "(C4 6000->1000, FPN 1000/level), 1000 rois, "
+                        "100-det cap — the regime where top-k/tie "
+                        "behaviour actually bites. CPU-expensive.")
+    p.add_argument("--presets", default=None,
+                   help="comma-separated subset (default: all 7)")
+    p.add_argument("--limit", type=int, default=None,
+                   help="evaluate only the first N images")
     args = p.parse_args()
 
     import jax
@@ -36,12 +46,15 @@ def main():
     from tests.test_ap_parity import ALL_PRESETS, run_preset_parity
 
     dataset, proposals_file = prepare_dataset()
+    presets = args.presets.split(",") if args.presets else ALL_PRESETS
     rows = []
-    for preset in ALL_PRESETS:
+    for preset in presets:
         t0 = time.time()
-        r = run_preset_parity(preset, dataset, proposals_file)
+        r = run_preset_parity(preset, dataset, proposals_file,
+                              shapes=args.shapes, limit=args.limit)
         row = {
             "preset": preset,
+            "shapes": args.shapes,
             "bbox_ap_ours": float(r["ours_bbox"][0]),
             "bbox_ap_mirror": float(r["mirror_bbox"][0]),
             "bbox_max_delta": float(np.max(np.abs(r["ours_bbox"] - r["mirror_bbox"]))),
@@ -56,9 +69,18 @@ def main():
         rows.append(row)
         print(json.dumps(row), flush=True)
 
+    out = {"rows": rows, "stats_compared": 12, "tolerance_gate": 2e-4}
+    if os.path.exists(args.out) and args.presets:
+        # partial run: merge into the existing record, replacing rows for
+        # the same (preset, shapes) pair
+        with open(args.out) as f:
+            old = json.load(f)
+        keep = [r for r in old.get("rows", [])
+                if (r["preset"], r.get("shapes", "harness")) not in
+                   {(r2["preset"], r2["shapes"]) for r2 in rows}]
+        out["rows"] = keep + rows
     with open(args.out, "w") as f:
-        json.dump({"rows": rows, "stats_compared": 12,
-                   "tolerance_gate": 2e-4}, f, indent=1)
+        json.dump(out, f, indent=1)
 
     print("\n| preset | box AP (ours/mirror) | segm AP | max |Δ| |")
     print("|---|---|---|---|")

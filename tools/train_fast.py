@@ -38,10 +38,20 @@ def parse_args():
     p.add_argument("--resume", action="store_true")
     p.add_argument("--log-period", type=int, default=20)
     p.add_argument("--seed", type=int, default=3)
+    p.add_argument("--device-preprocess", action="store_true",
+                   help="upload raw uint8 and resize/normalise on device "
+                        "(~10x less H2D per iteration; flips applied to "
+                        "the uint8 pixels host-side)")
     return p.parse_args()
 
 
 def main():
+    if os.environ.get("DETECTORCH_CPU"):
+        # this jax build ignores the JAX_PLATFORMS env var (the TPU plugin
+        # is pinned via sitecustomize); force CPU through the config
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     args = parse_args()
     import jax
     import jax.numpy as jnp
@@ -77,7 +87,10 @@ def main():
         params.update(c2.import_base_cnn(blobs, cfg.arch))
         print("loaded base CNN weights", flush=True)
 
-    init_state, make_step = make_train_step(cfg, solver)
+    blob_hw = (1344, 1344)  # one fixed training bucket -> one program
+    init_state, make_step = make_train_step(
+        cfg, solver, device_input=args.device_preprocess, blob_hw=blob_hw
+    )
     state, tx = init_state(params)
     step_fn = jax.jit(make_step(tx))
 
@@ -104,7 +117,61 @@ def main():
     rng = np.random.RandomState(args.seed)
     stats = TrainingStats(args.max_iter, args.log_period)
 
+    if args.device_preprocess:
+        from detectorch_tpu.data.device_input import RAW_STRIDE, prepare_raw
+
+        # one fixed raw bucket (padded original dims) keeps a single program
+        raw_h = max(-(-e.height // RAW_STRIDE) * RAW_STRIDE for e in roidb)
+        raw_w = max(-(-e.width // RAW_STRIDE) * RAW_STRIDE for e in roidb)
+        print(f"raw bucket: {raw_h}x{raw_w} uint8 "
+              f"({batch_size * raw_h * raw_w * 3 / 1e6:.1f} MB/iter vs "
+              f"{batch_size * blob_hw[0] * blob_hw[1] * 3 * 4 / 1e6:.1f} MB "
+              "fp32 blobs)", flush=True)
+
     def make_batch():
+        if args.device_preprocess:
+            batch = {k: [] for k in ["raw", "tables", "meta", "rois",
+                                     "labels", "bbox_targets_compact",
+                                     "valid"]}
+            for _ in range(batch_size):
+                e = roidb[rng.randint(len(roidb))]
+                im = T.load_image_rgb(e.file_path)
+                if e.flipped:
+                    # flip the uint8 pixels BEFORE resize, exactly like the
+                    # reference (coco_dataset.py:52-53) — 3x cheaper than
+                    # flipping the fp32 blob, and the sampled rois already
+                    # come from the flipped roidb entry
+                    im = np.ascontiguousarray(im[:, ::-1])
+                raw, m = prepare_raw(
+                    im.astype(np.uint8), test_cfg.target_size,
+                    test_cfg.max_size, buckets=(blob_hw,),
+                )
+                rawp = np.zeros((raw_h, raw_w, 3), np.uint8)
+                rawp[: raw.shape[0], : raw.shape[1]] = raw
+                L = max(m["out_h"], m["out_w"])
+                tables = np.zeros((4, L), np.float32)
+                t = m["tables"]
+                tables[0, : m["out_h"]] = t["y_i0"]
+                tables[1, : m["out_h"]] = t["y_w1"]
+                tables[2, : m["out_w"]] = t["x_i0"]
+                tables[3, : m["out_w"]] = t["x_w1"]
+                meta = np.asarray(
+                    [m["raw_h"], m["raw_w"], m["rsz_h"], m["rsz_w"],
+                     m["scale"], m["orig_h"], m["orig_w"]], np.float32)
+                blobs = sample_rois(e, m["scale"], rng, sampler_cfg,
+                                    cfg.num_classes, compact_targets=True)
+                batch["raw"].append(rawp)
+                batch["tables"].append(tables)
+                batch["meta"].append(meta)
+                batch["rois"].append(blobs["rois"])
+                batch["labels"].append(blobs["labels"])
+                batch["bbox_targets_compact"].append(
+                    blobs["bbox_targets_compact"])
+                batch["valid"].append(blobs["valid"])
+            return {
+                k: jax.device_put(np.stack(v), data_sharding)
+                for k, v in batch.items()
+            }
         keys = ["image", "rois", "labels", "bbox_targets",
                 "bbox_inside_weights", "bbox_outside_weights", "valid"]
         batch = {k: [] for k in keys}
@@ -116,7 +183,7 @@ def main():
                 im = im[:, ::-1]
             image, scale, _ = T.preprocess_image(
                 im, test_cfg.target_size, test_cfg.max_size,
-                buckets=((1344, 1344),),
+                buckets=(blob_hw,),
             )
             blobs = sample_rois(e, scale, rng, sampler_cfg, cfg.num_classes)
             batch["image"].append(image)
