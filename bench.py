@@ -46,7 +46,9 @@ def main():
     prec = os.environ.get("BENCH_ROI_ALIGN_PRECISION")
     if prec:
         cfg = cfg.replace(roi_align_precision=prec)
-    test_cfg = TestConfig()
+    test_cfg = TestConfig(
+        nms_topk_prefilter=int(os.environ.get("BENCH_NMS_PREFILTER", "0")),
+    )
     params = init_params(cfg, seed=0)
 
     mesh = make_mesh(model_parallel=1)

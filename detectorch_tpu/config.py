@@ -162,6 +162,13 @@ class TestConfig:
     # reference's cv2 path to float32 associativity (~1e-4 abs), not
     # bit-for-bit; AP-parity measured unchanged (PARITY.md)
     device_preprocess: bool = False
+    # per-class NMS top-M score prefilter (0 = off): run per-class NMS over
+    # only the top-M candidates by score instead of all max_proposals. Exact
+    # whenever every class has <= M above-threshold candidates (typical with
+    # real weights at score_thresh 0.05); the program flags the rare
+    # overflow via Detections.nms_exact and the engine re-runs that image
+    # through the full-NMS variant (same design as the Pallas slab rerun).
+    nms_topk_prefilter: int = 0
     # dtype the batched engine fetches mask probabilities in. 'bfloat16'
     # (default) halves the dominant device->host payload (the (B,100,28,28)
     # sigmoid tensor); rounding is ±2^-9 near the 0.5 binarisation

@@ -77,14 +77,28 @@ class InferenceEngine:
             ),
         )
 
+    def _needs_exact_check(self):
+        """True if the fast program can flag an inexact result needing the
+        exact-variant rerun: Pallas slab overflow and/or NMS-prefilter
+        class overflow."""
+        return (
+            (self.cfg.use_fpn and self.cfg.use_pallas_roi_align)
+            or self.test_cfg.nms_topk_prefilter > 0
+        )
+
     def build_single(self, key, exact: bool = False):
         """Unjitted single-sample callable for this key. With
         test_cfg.device_preprocess the uint8->blob conversion (resize, mean
         subtract, pad; data/device_input.py) is fused into the program, so
         the host uploads raw uint8 (~25x less tunnel traffic than the fp32
-        blob)."""
+        blob). exact=True builds the fallback variant: exact-gather
+        RoIAlign and no NMS prefilter."""
         cfg = self.cfg.replace(use_pallas_roi_align=False) if exact else self.cfg
-        fwd = make_inference_fn(cfg, self.test_cfg)
+        tcfg = (
+            self.test_cfg.replace(nms_topk_prefilter=0)
+            if exact else self.test_cfg
+        )
+        fwd = make_inference_fn(cfg, tcfg)
         if not self.test_cfg.device_preprocess:
             return fwd
         from detectorch_tpu.data.device_input import device_preprocess
@@ -170,7 +184,7 @@ class InferenceEngine:
     def finalize(self, out, args, oh, ow):
         """Exactness check + collect: if the fast program flagged a Pallas
         slab overflow, re-run this image through the exact variant."""
-        if self.cfg.use_fpn and self.cfg.use_pallas_roi_align:
+        if self._needs_exact_check():
             if not bool(np.asarray(out.roi_align_exact)):
                 out = self._exact_fn(self.sample_key(args))(*args)
         return self._collect(out, oh, ow)
@@ -234,7 +248,7 @@ class BatchedInferenceEngine:
                 d = out.detections
                 exact = (
                     out.roi_align_exact
-                    if self.cfg.use_fpn and self.cfg.use_pallas_roi_align
+                    if self._single._needs_exact_check()
                     else jnp.ones(d.scores.shape[0], jnp.bool_)
                 )
                 k = d.scores.shape[1]

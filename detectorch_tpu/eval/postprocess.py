@@ -35,6 +35,12 @@ class Detections(NamedTuple):
     scores: jax.Array   # (K,)
     classes: jax.Array  # (K,) int32 (1..num_classes-1)
     valid: jax.Array    # (K,) bool
+    # () bool: False iff the nms_topk_prefilter truncated a class that had
+    # MORE above-threshold candidates than the prefilter width — the one
+    # case where the result may differ from full per-class NMS. The engine
+    # re-runs such images through the exact program (same architecture as
+    # the Pallas slab-overflow rerun).
+    nms_exact: jax.Array = True
 
 
 def decode_boxes(rois, bbox_deltas, im_scale, orig_h, orig_w, test_cfg: TestConfig):
@@ -73,6 +79,7 @@ def postprocess_detections(
     # reference threshold is scores > score_thresh (result_utils.py:131)
     valid = roi_valid[None, :] & (cls_sc > test_cfg.score_thresh)
 
+    nms_exact = jnp.bool_(True)
     if test_cfg.soft_nms:
         def one_class(b, s, v):
             idx, sc, ok = nms_ops.soft_nms(
@@ -83,6 +90,30 @@ def postprocess_detections(
             return idx, sc, ok
 
         keep_idx, keep_scores, keep_ok = jax.vmap(one_class)(cls_boxes, cls_sc, valid)
+    elif (test_cfg.nms_topk_prefilter
+          and cls_sc.shape[1] > test_cfg.nms_topk_prefilter):
+        # Per-class top-M prefilter: with score_thresh 0.05 a trained
+        # detector has a handful of candidates per class, so NMS over the
+        # top M by score equals NMS over all N — EXACTLY, whenever every
+        # class has <= M above-threshold candidates (the full candidate
+        # set is then present, and the processing order is unchanged:
+        # lax.top_k orders (desc score, asc index), so among ties the
+        # higher original index lands at the higher subset position —
+        # which is precisely the position the blocked NMS processes first,
+        # reproducing the reference's argsort()[::-1] tie order). The
+        # nms_exact flag goes False iff some class exceeded M; the engine
+        # re-runs those images through the full-NMS program.
+        m = test_cfg.nms_topk_prefilter
+        sv = jnp.where(valid, cls_sc, -jnp.inf)
+        top_s, top_i = jax.lax.top_k(sv, m)                    # (C-1, m)
+        top_b = jnp.take_along_axis(cls_boxes, top_i[..., None], axis=1)
+        keep_m, keep_ok = nms_ops.batched_nms(
+            top_b, top_s, max_out=k_pad, iou_thresh=test_cfg.nms_thresh,
+            valid=top_s > -jnp.inf,
+        )
+        keep_idx = jnp.take_along_axis(top_i, keep_m, axis=1)
+        keep_scores = jnp.take_along_axis(cls_sc, keep_idx, axis=1)
+        nms_exact = jnp.all(jnp.sum(valid, axis=1) <= m)
     else:
         keep_idx, keep_ok = nms_ops.batched_nms(
             cls_boxes, cls_sc, max_out=k_pad, iou_thresh=test_cfg.nms_thresh, valid=valid
@@ -128,4 +159,5 @@ def postprocess_detections(
         scores=jnp.where(ok, top_scores, 0.0),
         classes=jnp.where(ok, flat_cls[top_idx], 0),
         valid=ok,
+        nms_exact=nms_exact,
     )

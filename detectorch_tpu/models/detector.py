@@ -236,6 +236,10 @@ def make_inference_fn(
             cls_scores, bbox_deltas, rois, roi_valid,
             im_scale, orig_h, orig_w, test_cfg, cfg.num_classes,
         )
+        # roi_align_exact doubles as the general "result is exact" flag:
+        # the NMS top-k prefilter overflow (dets.nms_exact False) routes
+        # through the same engine rerun as a Pallas slab overflow
+        align_exact = align_exact & dets.nms_exact
 
         # --- mask branch (on final detections, reference demo flow) ------
         masks = None

@@ -258,3 +258,37 @@ def test_batched_mask_fetch_dtypes(tiny_coco, rng):
         union = np.logical_or(ms, mb).sum()
         if union:
             assert inter / union > 0.95, (inter, union)
+
+
+def test_engine_exact_rerun_on_nms_prefilter_overflow(tiny_coco, rng):
+    """With nms_topk_prefilter set and score_thresh=0 every roi is an
+    above-threshold candidate for every class, so the prefilter ALWAYS
+    overflows: the program must flag nms_exact=False and the engine's
+    finalize must re-run through the full-NMS program, matching a
+    no-prefilter engine exactly."""
+    from detectorch_tpu.eval.engine import InferenceEngine
+    from detectorch_tpu.data.transforms import load_image_rgb
+
+    ann, imdir = tiny_coco
+    ds = CocoDataset(ann, imdir)
+    cfg = PRESETS["e2e_faster_rcnn_R-50-FPN_2x"].replace(
+        compute_dtype="float32", use_pallas_roi_align=False,
+    )
+    cfg = cfg.replace(rpn=cfg.rpn.__class__(pre_nms_top_n=100, post_nms_top_n=40))
+    base = TestConfig(target_size=64, max_size=96, detections_per_img=5,
+                      score_thresh=0.0)
+    params = init_params(cfg, seed=0)
+    im = load_image_rgb(ds.get_roidb(gt=False)[0].file_path)
+
+    fast = InferenceEngine(cfg, base.replace(nms_topk_prefilter=16), params)
+    assert fast._needs_exact_check()
+    args, oh, ow = fast.preprocess(im)
+    out = fast.submit(args)
+    assert not bool(np.asarray(out.roi_align_exact))  # prefilter overflowed
+    res = fast.finalize(out, args, oh, ow)
+
+    exact = InferenceEngine(cfg, base, params)
+    res_exact = exact.run_image(im)
+    np.testing.assert_array_equal(res["classes"], res_exact["classes"])
+    np.testing.assert_allclose(res["scores"], res_exact["scores"], rtol=1e-6)
+    np.testing.assert_allclose(res["boxes"], res_exact["boxes"], rtol=1e-6)

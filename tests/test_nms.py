@@ -160,3 +160,56 @@ def test_soft_nms_linear_decays_scores():
     # distant box keeps its score, overlapped one decays below it
     assert idx[1] == 2 and s[1] == np.float32(0.7)
     assert idx[2] == 1 and s[2] < 0.8
+
+
+def test_nms_topk_prefilter_exact_and_flag(rng):
+    """postprocess_detections with nms_topk_prefilter=M produces IDENTICAL
+    detections to the full per-class NMS whenever every class has <= M
+    above-threshold candidates (incl. tie order — top_k's (desc score,
+    asc idx) ordering puts tied higher-original-indices at higher subset
+    positions, exactly where the blocked NMS picks first), and flags
+    nms_exact=False when a class overflows M."""
+    from detectorch_tpu.config import TestConfig
+    from detectorch_tpu.eval.postprocess import postprocess_detections
+
+    n, c = 400, 81
+    rois = np.zeros((n, 4), np.float32)
+    x1 = rng.uniform(0, 500, n); y1 = rng.uniform(0, 300, n)
+    rois[:, 0], rois[:, 1] = x1, y1
+    rois[:, 2] = x1 + rng.uniform(8, 120, n)
+    rois[:, 3] = y1 + rng.uniform(8, 120, n)
+    deltas = (rng.randn(n, 4 * c) * 0.2).astype(np.float32)
+    # sparse confident classes + deliberate score TIES
+    scores = rng.uniform(0.0, 0.04, (n, c)).astype(np.float32)
+    for cls in [3, 17, 42]:
+        idx = rng.choice(n, 30, replace=False)
+        scores[idx, cls] = rng.uniform(0.06, 0.9, 30).astype(np.float32)
+    scores[10, 3] = scores[11, 3] = scores[12, 3] = np.float32(0.5)  # ties
+    valid = np.ones(n, bool)
+
+    full = postprocess_detections(
+        scores, deltas, rois, valid, 1.0, 300.0, 500.0,
+        TestConfig(nms_topk_prefilter=0), c,
+    )
+    pre = postprocess_detections(
+        scores, deltas, rois, valid, 1.0, 300.0, 500.0,
+        TestConfig(nms_topk_prefilter=64), c,
+    )
+    assert bool(pre.nms_exact)
+    np.testing.assert_array_equal(np.asarray(full.valid), np.asarray(pre.valid))
+    ok = np.asarray(full.valid)
+    np.testing.assert_array_equal(np.asarray(full.classes)[ok],
+                                  np.asarray(pre.classes)[ok])
+    np.testing.assert_array_equal(np.asarray(full.scores)[ok],
+                                  np.asarray(pre.scores)[ok])
+    np.testing.assert_array_equal(np.asarray(full.boxes)[ok],
+                                  np.asarray(pre.boxes)[ok])
+
+    # overflow: one class with MORE above-threshold candidates than M
+    scores_of = scores.copy()
+    scores_of[:, 7] = rng.uniform(0.06, 0.9, n).astype(np.float32)
+    pre_of = postprocess_detections(
+        scores_of, deltas, rois, valid, 1.0, 300.0, 500.0,
+        TestConfig(nms_topk_prefilter=64), c,
+    )
+    assert not bool(pre_of.nms_exact)
