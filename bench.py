@@ -46,6 +46,9 @@ def main():
     prec = os.environ.get("BENCH_ROI_ALIGN_PRECISION")
     if prec:
         cfg = cfg.replace(roi_align_precision=prec)
+    cdt = os.environ.get("BENCH_COMPUTE_DTYPE")
+    if cdt:
+        cfg = cfg.replace(compute_dtype=cdt)
     test_cfg = TestConfig(
         nms_topk_prefilter=int(os.environ.get("BENCH_NMS_PREFILTER", "0")),
     )
