@@ -199,6 +199,11 @@ def mask_study():
 
 
 if __name__ == "__main__":
+    import os
+
     print(f"devices: {jax.devices()}", flush=True)
-    nms_study()
-    mask_study()
+    which = os.environ.get("STUDY", "all")
+    if which in ("all", "nms"):
+        nms_study()
+    if which in ("all", "mask"):
+        mask_study()

@@ -111,3 +111,19 @@ def test_ap_parity_device_preprocess(synth):
     assert ours_bbox[0] > 0.05
     d = float(np.max(np.abs(ours_bbox - mir_bbox)))
     assert d < AP_TOL, (ours_bbox, mir_bbox)
+
+
+@pytest.mark.skipif(
+    os.environ.get("AP_PARITY_PRODUCTION", "") != "1",
+    reason="production shapes are CPU-expensive (~10 min/preset); "
+           "run via AP_PARITY_PRODUCTION=1 or tools/ap_parity.py "
+           "--shapes production (results recorded in AP_PARITY.json)",
+)
+def test_ap_parity_production_shapes(synth):
+    """Flagship at FULL production counts: 800/1333 resize, 1000
+    proposals/level, 1000 rois, 100-det cap (VERDICT r2 item 1 — the
+    regime where top-k/tie behaviour actually bites)."""
+    dataset, proposals_file = synth
+    r = run_preset_parity("e2e_mask_rcnn_R-50-FPN_2x", dataset,
+                          proposals_file, shapes="production", limit=6)
+    check(r)
