@@ -86,21 +86,10 @@ class InferenceEngine:
             or self.test_cfg.nms_topk_prefilter > 0
         )
 
-    def build_single(self, key, exact: bool = False):
-        """Unjitted single-sample callable for this key. With
-        test_cfg.device_preprocess the uint8->blob conversion (resize, mean
-        subtract, pad; data/device_input.py) is fused into the program, so
-        the host uploads raw uint8 (~25x less tunnel traffic than the fp32
-        blob). exact=True builds the fallback variant: exact-gather
-        RoIAlign and no NMS prefilter."""
-        cfg = self.cfg.replace(use_pallas_roi_align=False) if exact else self.cfg
-        tcfg = (
-            self.test_cfg.replace(nms_topk_prefilter=0)
-            if exact else self.test_cfg
-        )
-        fwd = make_inference_fn(cfg, tcfg)
-        if not self.test_cfg.device_preprocess:
-            return fwd
+    def _wrap_raw(self, fwd, key):
+        """Wrap an (params, image, im_scale, orig_h, orig_w, *extra) program
+        so it consumes the packed raw-uint8 device-preprocess arguments
+        instead of a host-built fp32 blob."""
         from detectorch_tpu.data.device_input import device_preprocess
 
         (_, (out_h, out_w)) = key
@@ -122,18 +111,38 @@ class InferenceEngine:
 
         return raw_fwd
 
+    def build_single(self, key, exact: bool = False):
+        """Unjitted single-sample callable for this key. With
+        test_cfg.device_preprocess the uint8->blob conversion (resize, mean
+        subtract, pad; data/device_input.py) is fused into the program, so
+        the host uploads raw uint8 (~25x less tunnel traffic than the fp32
+        blob). exact=True builds the fallback variant: exact-gather
+        RoIAlign and no NMS prefilter."""
+        cfg = self.cfg.replace(use_pallas_roi_align=False) if exact else self.cfg
+        tcfg = (
+            self.test_cfg.replace(nms_topk_prefilter=0)
+            if exact else self.test_cfg
+        )
+        fwd = make_inference_fn(cfg, tcfg)
+        if not self.test_cfg.device_preprocess:
+            return fwd
+        return self._wrap_raw(fwd, key)
+
     def _fn(self, key):
         if key not in self._compiled:
             self._compiled[key] = jax.jit(self.build_single(key))
         return self._compiled[key]
 
-    def preprocess(self, im_rgb: np.ndarray, proposals: Optional[np.ndarray] = None):
-        """Host-side prep -> (args tuple, orig_h, orig_w). Thread-safe."""
+    def preprocess(self, im_rgb: np.ndarray, proposals: Optional[np.ndarray] = None,
+                   target_size: Optional[int] = None):
+        """Host-side prep -> (args tuple, orig_h, orig_w). Thread-safe.
+        target_size overrides test_cfg.target_size (multi-scale inference)."""
+        ts = self.test_cfg.target_size if target_size is None else target_size
         if self.test_cfg.device_preprocess:
             from detectorch_tpu.data.device_input import prepare_raw
 
             raw, m = prepare_raw(
-                im_rgb, self.test_cfg.target_size, self.test_cfg.max_size,
+                im_rgb, ts, self.test_cfg.max_size,
                 pad_stride=self._pad_stride(), buckets=self._buckets(),
             )
             scale, oh, ow = m["scale"], m["orig_h"], m["orig_w"]
@@ -154,7 +163,7 @@ class InferenceEngine:
             args = [self.params, raw, tables, meta]
         else:
             image, scale, (oh, ow) = T.preprocess_image(
-                im_rgb, self.test_cfg.target_size, self.test_cfg.max_size,
+                im_rgb, ts, self.test_cfg.max_size,
                 pad_stride=self._pad_stride(), buckets=self._buckets(),
             )
             args = [
@@ -194,16 +203,130 @@ class InferenceEngine:
         args, oh, ow = self.preprocess(im_rgb, proposals)
         return self.finalize(self.submit(args), args, oh, ow)
 
+    # -- multi-scale (pyramid) inference ------------------------------------
+
+    def _scale_of(self, args) -> float:
+        """The im_scale a preprocess() args tuple was built with."""
+        return float(args[3][4] if self.test_cfg.device_preprocess else args[2])
+
+    def _merge_fn(self, nscales: int):
+        """Jitted multi-scale merge: decode each scale's pre-NMS candidates
+        to original-image coords, union them, and run the reference
+        threshold/per-class-NMS/global-cap ONCE over the union. Always the
+        exact (no-prefilter) NMS — this is a latency/accuracy path."""
+        ckey = ("msmerge", nscales)
+        if ckey not in self._compiled:
+            from detectorch_tpu.eval import postprocess as pp
+
+            tcfg = self.test_cfg.replace(nms_topk_prefilter=0)
+            num_classes = self.cfg.num_classes
+
+            def merge(scores_l, deltas_l, rois_l, valid_l, scales, oh, ow):
+                preds = [
+                    pp.decode_boxes(rois_l[i], deltas_l[i], scales[i], oh, ow, tcfg)
+                    for i in range(nscales)
+                ]
+                sc = jnp.concatenate(
+                    [s.astype(jnp.float32) for s in scores_l], axis=0
+                )
+                pred = jnp.concatenate(preds, axis=0)
+                valid = jnp.concatenate(valid_l, axis=0)
+                return pp.postprocess_decoded(sc, pred, valid, tcfg, num_classes)
+
+            self._compiled[ckey] = jax.jit(merge)
+        return self._compiled[ckey]
+
+    def _mask_fn(self, key, exact: bool = False):
+        """Jitted mask-only program (final boxes -> mask probs) for the
+        multi-scale path; same device-preprocess wrapping and exact-gather
+        fallback structure as the main program."""
+        ckey = ("mask", exact, key)
+        if ckey not in self._compiled:
+            from detectorch_tpu.models.detector import make_mask_fn
+
+            cfg = (
+                self.cfg.replace(use_pallas_roi_align=False)
+                if exact else self.cfg
+            )
+            mfn = make_mask_fn(cfg)
+            if self.test_cfg.device_preprocess:
+                mfn = self._wrap_raw(mfn, key)
+            self._compiled[ckey] = jax.jit(mfn)
+        return self._compiled[ckey]
+
+    def run_image_multiscale(
+        self,
+        im_rgb: np.ndarray,
+        target_sizes,
+        proposals: Optional[np.ndarray] = None,
+    ):
+        """Multi-scale (test-time pyramid) inference — the wired version of
+        what the reference only gestures at: its ``preprocess_sample``
+        builds the pyramid blob (``lib/utils/preprocess_sample.py:28-32``,
+        ``blob.py:57-87``) but then consumes only ``im_scales[0]``
+        downstream (``preprocess_sample.py:33,37``), so no reference code
+        path ever merges scales. The semantics implemented here are
+        upstream Detectron's TEST.BBOX_AUG with the union score heuristic:
+
+          * run the full per-scale program at each target size (shared
+            max_size; each scale is its own compiled bucket program),
+          * union all scales' pre-NMS candidates decoded to original-image
+            coordinates,
+          * run the reference threshold / per-class NMS / >=-threshold
+            global cap once over the union (``_merge_fn``),
+          * run the mask branch once on the merged boxes at
+            ``target_sizes[0]`` (Detectron test-aug flow: im_detect_mask at
+            TEST.SCALE on the final boxes).
+
+        With target_sizes == [test_cfg.target_size] this reduces exactly to
+        run_image (tested). Exactness reruns (Pallas slab / NMS prefilter
+        overflow) apply per scale, and the merge itself always uses the
+        full-width NMS."""
+        assert len(target_sizes) >= 1
+        per_scale = []
+        oh = ow = None
+        for ts in target_sizes:
+            args, oh, ow = self.preprocess(im_rgb, proposals, target_size=ts)
+            per_scale.append([self.submit(args), args])
+        if self._needs_exact_check():
+            for rec in per_scale:
+                out, args = rec
+                if not bool(np.asarray(out.roi_align_exact)):
+                    rec[0] = self._exact_fn(self.sample_key(args))(*args)
+        dets = self._merge_fn(len(per_scale))(
+            [r[0].cls_scores for r in per_scale],
+            [r[0].bbox_deltas for r in per_scale],
+            [r[0].rois for r in per_scale],
+            [r[0].roi_valid for r in per_scale],
+            jnp.asarray([self._scale_of(r[1]) for r in per_scale], jnp.float32),
+            jnp.float32(oh), jnp.float32(ow),
+        )
+        masks = None
+        if self.cfg.use_mask:
+            args0 = per_scale[0][1]
+            base = args0[:4] if self.test_cfg.device_preprocess else args0[:5]
+            key0 = self.sample_key(args0)
+            masks, mask_exact = self._mask_fn(key0)(
+                *base, dets.boxes, dets.classes
+            )
+            if self._needs_exact_check() and not bool(np.asarray(mask_exact)):
+                masks, _ = self._mask_fn(key0, exact=True)(
+                    *base, dets.boxes, dets.classes
+                )
+        return self._collect_dets(dets, masks, oh, ow)
+
     def _collect(self, out, oh, ow):
-        dets = out.detections
+        return self._collect_dets(out.detections, out.masks, oh, ow)
+
+    def _collect_dets(self, dets, masks, oh, ow):
         valid = np.asarray(dets.valid)
         result = {
             "boxes": np.asarray(dets.boxes)[valid],
             "scores": np.asarray(dets.scores)[valid],
             "classes": np.asarray(dets.classes)[valid],
         }
-        if out.masks is not None:
-            masks = np.asarray(out.masks)[valid]
+        if masks is not None:
+            masks = np.asarray(masks)[valid]
             result["rles"] = mask_paste.segm_results(
                 masks, result["boxes"], int(oh), int(ow),
                 self.cfg.mask.resolution,

@@ -66,12 +66,30 @@ def postprocess_detections(
 ) -> Detections:
     """cls_scores (N, C) softmax probs; bbox_deltas (N, 4C); rois (N, 4) in
     network-input (scaled) coords; roi_valid (N,) bool."""
+    pred = decode_boxes(rois, bbox_deltas, im_scale, orig_h, orig_w, test_cfg)
+    return postprocess_decoded(cls_scores, pred, roi_valid, test_cfg, num_classes)
+
+
+def postprocess_decoded(
+    cls_scores,
+    pred,
+    roi_valid,
+    test_cfg: TestConfig,
+    num_classes: int = 81,
+) -> Detections:
+    """Threshold/NMS/cap over ALREADY-DECODED per-class boxes.
+
+    cls_scores (N, C) softmax probs; pred (N, C, 4) original-image-coordinate
+    clipped boxes (decode_boxes output); roi_valid (N,) bool. Split out of
+    postprocess_detections so multi-scale inference can union candidates
+    decoded at different im_scales and run the reference NMS/cap once over
+    the union (Detectron TEST.BBOX_AUG union heuristic; engine
+    run_image_multiscale)."""
     k = test_cfg.detections_per_img
     # per-class NMS keeps up to k_pad: the global >=threshold cap below can
     # admit more than k detections from ONE class when scores tie at the
     # threshold, but never more than k_pad (its own slot count)
     k_pad = k + test_cfg.detections_tie_slack
-    pred = decode_boxes(rois, bbox_deltas, im_scale, orig_h, orig_w, test_cfg)
 
     # drop background class 0; axes become (C-1, N, ...)
     cls_boxes = jnp.transpose(pred[:, 1:, :], (1, 0, 2))

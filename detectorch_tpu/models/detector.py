@@ -283,6 +283,60 @@ def make_inference_fn(
     return forward
 
 
+def make_mask_fn(cfg: ModelConfig):
+    """Mask-only program: final detection boxes -> class-gathered mask probs.
+
+    fn(params, image, im_scale, orig_h, orig_w, boxes, classes)
+      -> (masks (K, M, M), align_exact ()) with boxes (K, 4) in
+    ORIGINAL-image coords and classes (K,) int32. orig_h/orig_w are unused
+    but keep the argument layout identical to make_inference_fn so the
+    engine's device-preprocess wrapper applies unchanged.
+
+    Recomputes the backbone at the given scale. Used by the engine's
+    multi-scale path (run_image_multiscale): merged detections come from
+    several per-scale programs, and the mask branch then runs once on the
+    merged set at the canonical scale — the Detectron test-aug flow
+    (im_detect_mask on final boxes at TEST.SCALE after BBOX_AUG merging).
+    """
+    assert cfg.use_mask, "make_mask_fn requires a mask-bearing config"
+
+    def forward(params, image, im_scale, orig_h, orig_w, boxes, classes):
+        del orig_h, orig_w
+        x = image[None].astype(jnp.dtype(cfg.compute_dtype))
+        align_exact = jnp.bool_(True)
+        mask_rois = boxes.astype(jnp.float32) * im_scale
+        msize = cfg.mask.roi_size
+        if cfg.use_fpn:
+            feats = resnet_mod.multilevel_body(params, x, cfg.arch)
+            pyramid = fpn_mod.fpn_neck(params, feats, cfg.arch)
+            level_feats = [p[0] for p in pyramid]
+            mask_levels = map_rois_to_fpn_levels(
+                mask_rois, cfg.fpn.roi_min_level, cfg.fpn.roi_max_level,
+                cfg.fpn.roi_canonical_scale, cfg.fpn.roi_canonical_level,
+            ) - cfg.fpn.roi_min_level
+            mask_feats, mask_exact = _fpn_roi_align(
+                cfg, level_feats, mask_rois, mask_levels, msize
+            )
+            align_exact = align_exact & mask_exact
+        else:
+            c4 = resnet_mod.c4_body(params, x, cfg.arch)
+            mask_feats = roi_align_matmul(
+                c4[0], mask_rois, msize, msize,
+                cfg.spatial_scale, cfg.roi_sampling_ratio,
+                precision=cfg.roi_align_precision, roi_chunk=64,
+            )
+        mask_feats = mask_feats.astype(jnp.dtype(cfg.compute_dtype))
+        mask_probs = heads_mod.mask_head(
+            params, mask_feats, cfg.mask.head_type, cfg.arch
+        )
+        masks = jnp.take_along_axis(
+            mask_probs, classes[:, None, None, None], axis=-1
+        )[..., 0]
+        return masks, align_exact
+
+    return forward
+
+
 def init_params(cfg: ModelConfig, seed: int = 0) -> Dict[str, jnp.ndarray]:
     """Random parameters with the same blob names the caffe2 importer emits —
     lets every code path (and benchmarks) run without real weights."""

@@ -292,3 +292,60 @@ def test_engine_exact_rerun_on_nms_prefilter_overflow(tiny_coco, rng):
     np.testing.assert_array_equal(res["classes"], res_exact["classes"])
     np.testing.assert_allclose(res["scores"], res_exact["scores"], rtol=1e-6)
     np.testing.assert_allclose(res["boxes"], res_exact["boxes"], rtol=1e-6)
+
+
+def test_multiscale_single_size_matches_run_image(tiny_coco, rng):
+    """run_image_multiscale([s]) must reduce exactly to run_image: the merge
+    program re-runs decode+NMS outside the main program on the same pre-NMS
+    tensors, and the standalone mask program recomputes the backbone — both
+    must reproduce the in-program results."""
+    from detectorch_tpu.data.transforms import load_image_rgb
+    from detectorch_tpu.eval.engine import InferenceEngine
+
+    ann, imdir = tiny_coco
+    ds = CocoDataset(ann, imdir)
+    cfg = PRESETS["e2e_mask_rcnn_R-50-FPN_2x"].replace(compute_dtype="float32")
+    cfg = cfg.replace(rpn=cfg.rpn.__class__(pre_nms_top_n=100, post_nms_top_n=20))
+    tcfg = TestConfig(target_size=64, max_size=96, detections_per_img=5,
+                      score_thresh=0.0)
+    params = init_params(cfg, seed=0)
+    eng = InferenceEngine(cfg, tcfg, params)
+    im = load_image_rgb(ds.get_roidb(gt=False)[0].file_path)
+
+    single = eng.run_image(im)
+    multi = eng.run_image_multiscale(im, [tcfg.target_size])
+    np.testing.assert_array_equal(multi["classes"], single["classes"])
+    np.testing.assert_allclose(multi["scores"], single["scores"], rtol=1e-6)
+    np.testing.assert_allclose(multi["boxes"], single["boxes"], rtol=1e-5,
+                               atol=1e-4)
+    assert multi["rles"] == single["rles"]
+
+
+def test_multiscale_two_sizes(tiny_coco, rng):
+    """Genuine two-scale union: structurally valid merged detections and
+    masks; the union can only add candidates, never lose the single-scale
+    winners' classes entirely."""
+    from detectorch_tpu.data.transforms import load_image_rgb
+    from detectorch_tpu.eval.engine import InferenceEngine
+
+    ann, imdir = tiny_coco
+    ds = CocoDataset(ann, imdir)
+    cfg = PRESETS["e2e_mask_rcnn_R-50-FPN_2x"].replace(compute_dtype="float32")
+    cfg = cfg.replace(rpn=cfg.rpn.__class__(pre_nms_top_n=100, post_nms_top_n=20))
+    tcfg = TestConfig(target_size=64, max_size=96, detections_per_img=5,
+                      score_thresh=0.0)
+    params = init_params(cfg, seed=0)
+    eng = InferenceEngine(cfg, tcfg, params)
+    entry = ds.get_roidb(gt=False)[0]
+    im = load_image_rgb(entry.file_path)
+
+    res = eng.run_image_multiscale(im, [48, 64])
+    assert len(res["boxes"]) > 0
+    assert len(res["rles"]) == len(res["boxes"])
+    oh, ow = im.shape[:2]
+    assert np.all(res["boxes"][:, 0] >= 0) and np.all(res["boxes"][:, 1] >= 0)
+    assert np.all(res["boxes"][:, 2] <= ow - 1 + 1e-3)
+    assert np.all(res["boxes"][:, 3] <= oh - 1 + 1e-3)
+    assert np.all((res["classes"] >= 1) & (res["classes"] < cfg.num_classes))
+    # scores sorted-desc property is NOT guaranteed post-union; validity is
+    assert np.all(res["scores"] > 0)
