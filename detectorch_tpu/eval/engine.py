@@ -517,8 +517,14 @@ def evaluate_dataset(
     dataset_name: str = "dataset",
     per_class_ap: bool = False,
     engines: Optional[Dict] = None,
+    target_sizes: Optional[List[int]] = None,
 ):
     """Full dataset loop -> (bbox stats, segm stats or None, results dict).
+
+    `target_sizes`: more than one size switches to multi-scale (test-time
+    pyramid) inference — per-image run_image_multiscale with the union
+    merge (Detectron TEST.BBOX_AUG semantics; see that method). Single-
+    image engine only (accuracy mode, not the throughput path).
 
     `engines`: optional dict reused across calls to keep compiled programs
     warm (pass the same dict to a small warmup call, then the real run —
@@ -542,11 +548,23 @@ def evaluate_dataset(
         engines["single"] = InferenceEngine(cfg, test_cfg, params)
     engine = engines["single"]
 
-    def make_sample(entry):
-        im = T.load_image_rgb(entry.file_path)
-        proposals = entry.boxes if not cfg.use_rpn else None
-        args, oh, ow = engine.preprocess(im, proposals)
-        return entry, args, oh, ow
+    multiscale = target_sizes is not None and len(list(target_sizes)) > 1
+    if multiscale and batch_size > 1:
+        raise ValueError(
+            "multi-scale eval runs the single-image engine (batch_size=1)"
+        )
+
+    if multiscale:
+        def make_sample(entry):
+            im = T.load_image_rgb(entry.file_path)
+            proposals = entry.boxes if not cfg.use_rpn else None
+            return entry, im, proposals
+    else:
+        def make_sample(entry):
+            im = T.load_image_rgb(entry.file_path)
+            proposals = entry.boxes if not cfg.use_rpn else None
+            args, oh, ow = engine.preprocess(im, proposals)
+            return entry, args, oh, ow
 
     loader = PrefetchLoader(roidb, make_sample, num_workers=4, prefetch=16)
 
@@ -608,6 +626,12 @@ def evaluate_dataset(
             _flush(group)
         while pending:
             _drain_one()
+    elif multiscale:
+        sizes = [int(s) for s in target_sizes]
+        for entry, im, proposals in loader:
+            results_iter.append(
+                (entry, engine.run_image_multiscale(im, sizes, proposals))
+            )
     else:
         pending = None  # (entry, device_out, args, oh, ow) — 1-deep pipeline
         for i, (entry, args, oh, ow) in enumerate(loader):

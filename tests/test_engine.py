@@ -349,3 +349,24 @@ def test_multiscale_two_sizes(tiny_coco, rng):
     assert np.all((res["classes"] >= 1) & (res["classes"] < cfg.num_classes))
     # scores sorted-desc property is NOT guaranteed post-union; validity is
     assert np.all(res["scores"] > 0)
+
+
+def test_evaluate_dataset_multiscale(tiny_coco, rng):
+    """Dataset loop in multi-scale mode produces valid COCO results and the
+    12-stat vector; --target-sizes in tools/eval_coco.py drives this path."""
+    ann, imdir = tiny_coco
+    ds = CocoDataset(ann, imdir)
+    cfg = PRESETS["e2e_faster_rcnn_R-50-FPN_2x"].replace(compute_dtype="float32")
+    cfg = cfg.replace(rpn=cfg.rpn.__class__(pre_nms_top_n=100, post_nms_top_n=20))
+    tcfg = TestConfig(target_size=64, max_size=96, detections_per_img=5,
+                      score_thresh=0.0)
+    params = init_params(cfg, seed=0)
+    stats, _, info = evaluate_dataset(
+        cfg, tcfg, params, ds, verbose=False, target_sizes=[48, 64]
+    )
+    assert stats is not None and len(stats) == 12
+    for r in info["bbox"]:
+        assert set(r) == {"image_id", "category_id", "bbox", "score"}
+    with pytest.raises(ValueError):
+        evaluate_dataset(cfg, tcfg, params, ds, verbose=False,
+                         target_sizes=[48, 64], batch_size=2)

@@ -47,6 +47,11 @@ def main():
                         "(~25x less input traffic; data/device_input.py)")
     p.add_argument("--batch", type=int, default=1,
                    help="bucket-grouped batched inference (throughput mode)")
+    p.add_argument("--target-sizes", default=None,
+                   help="comma-separated test scales, e.g. 480,576,688,800: "
+                        "more than one switches to multi-scale pyramid "
+                        "inference (union merge, Detectron TEST.BBOX_AUG "
+                        "semantics; single-image engine, accuracy mode)")
     args = p.parse_args()
 
     from detectorch_tpu.config import PRESETS, TestConfig
@@ -69,12 +74,20 @@ def main():
     roidb = ds.get_roidb(
         gt=False, proposal_file=args.proposals if not cfg.use_rpn else None
     )
+    sizes = (
+        [int(s) for s in args.target_sizes.split(",")]
+        if args.target_sizes else None
+    )
+    if sizes and len(sizes) == 1:
+        test_cfg = test_cfg.replace(target_size=sizes[0])
+        sizes = None
     bbox_stats, segm_stats, info = evaluate_dataset(
         cfg, test_cfg, params, ds, roidb=roidb, limit=args.limit,
         batch_size=args.batch,
         output_dir=args.output_dir,
         dataset_name=os.path.splitext(os.path.basename(args.ann))[0],
         per_class_ap=args.per_class_ap,
+        target_sizes=sizes,
     )
     print(f"throughput: {info['images_per_sec']:.2f} images/sec", flush=True)
     if bbox_stats is not None:
