@@ -78,6 +78,22 @@ class MaskConfig:
 
 
 @dataclass(frozen=True)
+class KeypointConfig:
+    """Keypoint head (Detectron KRCNN defaults; the reference repo carries
+    only the evaluator/dataset halves of keypoint support —
+    ``json_dataset_evaluator.py:349-432``, ``json_dataset.py:268-314`` —
+    and no model, so the head layout follows upstream Detectron's
+    keypoint_rcnn_heads.add_roi_pose_head_v1convX: 8x (3x3 conv 512) +
+    4x4/2 deconv + fixed-bilinear 2x upsample -> 56x56 heatmaps."""
+
+    num_keypoints: int = 17
+    roi_size: int = 14               # RoIAlign output feeding the trunk
+    num_convs: int = 8
+    conv_dim: int = 512
+    heatmap_size: int = 56           # 14 -> deconv 28 -> bilinear x2 56
+
+
+@dataclass(frozen=True)
 class ModelConfig:
     """One README model row == one ModelConfig (reference notebook cell args)."""
 
@@ -97,6 +113,7 @@ class ModelConfig:
     rpn: RPNConfig = field(default_factory=RPNConfig)
     fpn: Optional[FPNConfig] = field(default_factory=FPNConfig)
     mask: Optional[MaskConfig] = None
+    keypoint: Optional[KeypointConfig] = None
     # C4 spatial scale (1/16); FPN path derives per-level scales from fpn config
     spatial_scale: float = 0.0625
     # compute dtype for the conv body (fp32 for bit-parity runs, bf16 for speed)
@@ -169,6 +186,11 @@ class TestConfig:
     # overflow via Detections.nms_exact and the engine re-runs that image
     # through the full-NMS variant (same design as the Pallas slab rerun).
     nms_topk_prefilter: int = 0
+    # keypoint detection score packed into COCO results: 'bbox' (detection
+    # score; Detectron KRCNN.KEYPOINT_CONFIDENCE default), 'logit' or
+    # 'prob' (mean over keypoints of the heatmap argmax logit / spatial-
+    # softmax prob) — reference json_dataset_evaluator.py:377-410
+    keypoint_confidence: str = "bbox"
     # dtype the batched engine fetches mask probabilities in. 'bfloat16'
     # (default) halves the dominant device->host payload (the (B,100,28,28)
     # sigmoid tensor); rounding is ±2^-9 near the 0.5 binarisation
@@ -262,4 +284,11 @@ PRESETS = {
     "e2e_mask_rcnn_R-101-FPN_2x": _fpn(
         "e2e_mask_rcnn_R-101-FPN_2x", "resnet101", True, True
     ),
+    # Keypoint R-CNN (person-only, 17 COCO keypoints). Beyond-parity: the
+    # reference ships the keypoint evaluator and dataset metadata but no
+    # model; this completes the family with upstream Detectron's
+    # e2e_keypoint_rcnn_R-50-FPN layout.
+    "e2e_keypoint_rcnn_R-50-FPN_1x": _fpn(
+        "e2e_keypoint_rcnn_R-50-FPN_1x", "resnet50", True, False
+    ).replace(num_classes=2, keypoint=KeypointConfig()),
 }

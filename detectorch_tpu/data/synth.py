@@ -46,6 +46,47 @@ ARCHETYPES = [
 ]
 
 
+COCO_PERSON_KEYPOINTS = [
+    "nose", "left_eye", "right_eye", "left_ear", "right_ear",
+    "left_shoulder", "right_shoulder", "left_elbow", "right_elbow",
+    "left_wrist", "right_wrist", "left_hip", "right_hip",
+    "left_knee", "right_knee", "left_ankle", "right_ankle",
+]
+
+COCO_PERSON_SKELETON = [
+    [16, 14], [14, 12], [17, 15], [15, 13], [12, 13], [6, 12], [7, 13],
+    [6, 7], [6, 8], [7, 9], [8, 10], [9, 11], [2, 3], [1, 2], [1, 3],
+    [2, 4], [3, 5], [4, 6], [5, 7],
+]
+
+
+def _person_keypoints(cx: float, cy: float, rx: float, ry: float,
+                      angle: float, x1, y1, x2, y2) -> list:
+    """17 deterministic visible keypoints inside the person ellipse: a
+    stick-figure layout in the ellipse's own frame, rotated with it, then
+    clipped into the bbox. Flat [x, y, v=2] * 17."""
+    layout = np.array([
+        (0.0, -0.80), (-0.12, -0.88), (0.12, -0.88),       # nose, eyes
+        (-0.25, -0.82), (0.25, -0.82),                     # ears
+        (-0.40, -0.45), (0.40, -0.45),                     # shoulders
+        (-0.55, -0.05), (0.55, -0.05),                     # elbows
+        (-0.60, 0.30), (0.60, 0.30),                       # wrists
+        (-0.25, 0.10), (0.25, 0.10),                       # hips
+        (-0.28, 0.50), (0.28, 0.50),                       # knees
+        (-0.30, 0.85), (0.30, 0.85),                       # ankles
+    ])
+    pts = layout * np.array([rx, ry])
+    c, s = np.cos(angle), np.sin(angle)
+    rot = np.array([[c, -s], [s, c]])
+    pts = pts @ rot.T + np.array([cx, cy])
+    pts[:, 0] = np.clip(pts[:, 0], x1, x2)
+    pts[:, 1] = np.clip(pts[:, 1], y1, y2)
+    out = []
+    for x, y in pts:
+        out += [float(x), float(y), 2]
+    return out
+
+
 def _polygon_for_shape(kind: str, cx: float, cy: float, rx: float, ry: float,
                        angle: float, rng: np.random.RandomState) -> np.ndarray:
     """Return an (N, 2) float polygon (closed implicitly) for a shape."""
@@ -83,12 +124,18 @@ def build_synth_coco(
     crowd_every: int = 8,
     archetypes: Sequence = ARCHETYPES,
     img_format: str = "png",
+    with_keypoints: bool = False,
 ) -> Tuple[str, str]:
     """Generate images + annotations under `root`.
 
     Returns (annotation_json_path, image_directory). Idempotent: if the
     manifest matches the requested parameters, the existing files are reused.
-    """
+
+    with_keypoints=True makes it a person-keypoints dataset (COCO
+    person_keypoints_*.json schema): the person category carries the 17
+    standard keypoint names + skeleton, and every non-crowd person
+    annotation gets 17 visible keypoints placed deterministically inside
+    its ellipse (keypoint eval needs gt with num_keypoints > 0)."""
     import cv2
 
     from detectorch_tpu.utils.dummy_datasets import COCO_CLASSES
@@ -99,6 +146,7 @@ def build_synth_coco(
     spec = {"n_images": n_images, "height": height, "width": width,
             "seed": seed, "max_objects": max_objects,
             "crowd_every": crowd_every, "img_format": img_format,
+            "with_keypoints": with_keypoints,
             "version": 4}
     if os.path.exists(manifest):
         with open(manifest) as f:
@@ -110,6 +158,10 @@ def build_synth_coco(
         {"id": jid, "name": COCO_CLASSES[i + 1]}
         for i, jid in enumerate(COCO_JSON_IDS)
     ]
+    if with_keypoints:
+        # standard COCO person keypoint names/skeleton (person is id 1)
+        categories[0]["keypoints"] = COCO_PERSON_KEYPOINTS
+        categories[0]["skeleton"] = COCO_PERSON_SKELETON
     images, annotations = [], []
     ann_id = 1
     for idx in range(n_images):
@@ -144,7 +196,7 @@ def build_synth_coco(
             is_crowd = int(
                 crowd_every > 0 and ann_id % crowd_every == 0
             )
-            annotations.append({
+            ann = {
                 "id": ann_id,
                 "image_id": idx + 1,
                 "category_id": COCO_JSON_IDS[cls_i - 1],
@@ -153,7 +205,16 @@ def build_synth_coco(
                          float(x2 - x1 + 1), float(y2 - y1 + 1)],
                 "area": float(area),
                 "iscrowd": is_crowd,
-            })
+            }
+            if with_keypoints and cls_i == 1 and not is_crowd:
+                ann["keypoints"] = _person_keypoints(
+                    cx, cy, rx, ry, angle, x1, y1, x2, y2
+                )
+                ann["num_keypoints"] = 17
+            elif with_keypoints:
+                ann["keypoints"] = [0.0] * 51
+                ann["num_keypoints"] = 0
+            annotations.append(ann)
             ann_id += 1
 
         # Texture EVERYTHING (background and shape interiors): multi-frequency

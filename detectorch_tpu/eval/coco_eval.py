@@ -103,6 +103,14 @@ class COCO:
             ann["id"] = i + 1
             if "segmentation" in ann and "bbox" not in ann:
                 ann["bbox"] = rle_mod.to_bbox(ann["segmentation"]).tolist()
+            if "keypoints" in ann and "bbox" not in ann:
+                # pycocotools loadRes: bbox/area from the keypoint extent
+                kp = np.asarray(ann["keypoints"], np.float64)
+                xs, ys = kp[0::3], kp[1::3]
+                x0, x1 = float(xs.min()), float(xs.max())
+                y0, y1 = float(ys.min()), float(ys.max())
+                ann["bbox"] = [x0, y0, x1 - x0, y1 - y0]
+                ann["area"] = (x1 - x0) * (y1 - y0)
             if "area" not in ann:
                 if "segmentation" in ann:
                     ann["area"] = rle_mod.area(ann["segmentation"])

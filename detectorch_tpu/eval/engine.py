@@ -44,6 +44,43 @@ def detections_to_coco_bbox(det_boxes, det_scores, det_classes, image_id, contig
     return out
 
 
+def detections_to_coco_keypoints(keypoints, det_scores, det_classes, image_id,
+                                 contiguous_to_json,
+                                 confidence: str = "bbox"):
+    """(k, P, 4) decoded keypoints -> COCO keypoint result dicts:
+    per keypoint [x, y, v=1], detection score per `confidence` mode
+    (reference json_dataset_evaluator.py:371-417; kps rows there are
+    (4, P) [x, y, logit, prob] — ours are keypoint-major)."""
+    if confidence == "bbox":
+        score_col = None
+    elif confidence == "logit":
+        score_col = 2
+    elif confidence == "prob":
+        score_col = 3
+    else:
+        raise ValueError(
+            "keypoint_confidence must be 'bbox', 'logit', or 'prob'"
+        )
+    out = []
+    for kp, det_score, cls in zip(keypoints, det_scores, det_classes):
+        xyv = np.concatenate(
+            [kp[:, :2], np.ones((kp.shape[0], 1), kp.dtype)], axis=1
+        )
+        score = (
+            float(det_score) if score_col is None
+            else float(kp[:, score_col].mean())
+        )
+        out.append(
+            {
+                "image_id": int(image_id),
+                "category_id": int(contiguous_to_json[int(cls)]),
+                "keypoints": [float(v) for v in xyv.reshape(-1)],
+                "score": score,
+            }
+        )
+    return out
+
+
 class InferenceEngine:
     def __init__(self, cfg: ModelConfig, test_cfg: TestConfig, params: Dict):
         self.cfg = cfg
@@ -254,6 +291,23 @@ class InferenceEngine:
             self._compiled[ckey] = jax.jit(mfn)
         return self._compiled[ckey]
 
+    def _kp_fn(self, key, exact: bool = False):
+        """Jitted keypoint-only program (final boxes -> decoded keypoints)
+        for the multi-scale path; mirrors _mask_fn."""
+        ckey = ("kp", exact, key)
+        if ckey not in self._compiled:
+            from detectorch_tpu.models.detector import make_keypoint_fn
+
+            cfg = (
+                self.cfg.replace(use_pallas_roi_align=False)
+                if exact else self.cfg
+            )
+            kfn = make_keypoint_fn(cfg)
+            if self.test_cfg.device_preprocess:
+                kfn = self._wrap_raw(kfn, key)
+            self._compiled[ckey] = jax.jit(kfn)
+        return self._compiled[ckey]
+
     def run_image_multiscale(
         self,
         im_rgb: np.ndarray,
@@ -302,10 +356,11 @@ class InferenceEngine:
             jnp.float32(oh), jnp.float32(ow),
         )
         masks = None
+        keypoints = None
+        args0 = per_scale[0][1]
+        base = args0[:4] if self.test_cfg.device_preprocess else args0[:5]
+        key0 = self.sample_key(args0)
         if self.cfg.use_mask:
-            args0 = per_scale[0][1]
-            base = args0[:4] if self.test_cfg.device_preprocess else args0[:5]
-            key0 = self.sample_key(args0)
             masks, mask_exact = self._mask_fn(key0)(
                 *base, dets.boxes, dets.classes
             )
@@ -313,12 +368,19 @@ class InferenceEngine:
                 masks, _ = self._mask_fn(key0, exact=True)(
                     *base, dets.boxes, dets.classes
                 )
-        return self._collect_dets(dets, masks, oh, ow)
+        if self.cfg.keypoint is not None:
+            keypoints, kp_exact = self._kp_fn(key0)(*base, dets.boxes)
+            if self._needs_exact_check() and not bool(np.asarray(kp_exact)):
+                keypoints, _ = self._kp_fn(key0, exact=True)(
+                    *base, dets.boxes
+                )
+        return self._collect_dets(dets, masks, oh, ow, keypoints=keypoints)
 
     def _collect(self, out, oh, ow):
-        return self._collect_dets(out.detections, out.masks, oh, ow)
+        return self._collect_dets(out.detections, out.masks, oh, ow,
+                                  keypoints=out.keypoints)
 
-    def _collect_dets(self, dets, masks, oh, ow):
+    def _collect_dets(self, dets, masks, oh, ow, keypoints=None):
         valid = np.asarray(dets.valid)
         result = {
             "boxes": np.asarray(dets.boxes)[valid],
@@ -331,6 +393,8 @@ class InferenceEngine:
                 masks, result["boxes"], int(oh), int(ow),
                 self.cfg.mask.resolution,
             )
+        if keypoints is not None:
+            result["keypoints"] = np.asarray(keypoints)[valid]
         return result
 
 
@@ -395,7 +459,10 @@ class BatchedInferenceEngine:
                     # batch at 28x28 — the same order as the uint8 image
                     # upload); AP effect measured nil (PARITY.md)
                     masks = masks.astype(jnp.bfloat16)
-                return pk, masks
+                # keypoints stay fp32: (B, K, P, 4) is ~27 KB/image and the
+                # x/y payload spans image coords, where bf16's 8-bit
+                # mantissa would cost whole pixels
+                return pk, masks, out.keypoints
 
             self._compiled[key] = jax.jit(packed)
         return self._compiled[key]
@@ -430,12 +497,13 @@ class BatchedInferenceEngine:
         through the exact program, and collect host-side results (mask
         paste + RLE, parallelised across the batch)."""
         n = len(samples)
-        pk, masks_dev = out
+        pk, masks_dev, kps_dev = out
         pk = np.asarray(pk)
         masks = (
             np.asarray(masks_dev).astype(np.float32)
             if masks_dev is not None else None
         )
+        kps = np.asarray(kps_dev) if kps_dev is not None else None
         boxes = pk[..., :4]
         scores = pk[..., 4]
         classes = pk[..., 5].astype(np.int64)
@@ -468,6 +536,8 @@ class BatchedInferenceEngine:
                     masks[i][ok], result["boxes"], int(oh), int(ow),
                     self.cfg.mask.resolution,
                 )
+            if kps is not None:
+                result["keypoints"] = kps[i][ok]
             return result
 
         # exact reruns happen serially on the main thread (compile-cache /
@@ -568,7 +638,7 @@ def evaluate_dataset(
 
     loader = PrefetchLoader(roidb, make_sample, num_workers=4, prefetch=16)
 
-    bbox_results, segm_results_all = [], []
+    bbox_results, segm_results_all, kps_results = [], [], []
     t0 = time.time()
     results_iter = []
     if batch_size > 1:
@@ -661,6 +731,14 @@ def evaluate_dataset(
                         "score": float(score),
                     }
                 )
+        if "keypoints" in res:
+            kps_results.extend(
+                detections_to_coco_keypoints(
+                    res["keypoints"], res["scores"], res["classes"],
+                    entry.image_id, dataset.contiguous_to_json,
+                    confidence=test_cfg.keypoint_confidence,
+                )
+            )
         if verbose and (i + 1) % 100 == 0:
             rate = (i + 1) / (time.time() - t0)
             print(f"  {i+1}/{len(roidb)} ({rate:.2f} img/s)", flush=True)
@@ -690,7 +768,11 @@ def evaluate_dataset(
 
     bbox_stats = _eval(bbox_results, "bbox")
     segm_stats = _eval(segm_results_all, "segm") if cfg.use_mask else None
+    kps_stats = (
+        _eval(kps_results, "keypoints") if cfg.keypoint is not None else None
+    )
     return bbox_stats, segm_stats, {
         "bbox": bbox_results, "segm": segm_results_all,
+        "keypoints": kps_results, "keypoints_stats": kps_stats,
         "images_per_sec": len(roidb) / infer_seconds,
     }

@@ -34,6 +34,7 @@ from detectorch_tpu.ops.roi_align import (
     multilevel_roi_align,
     roi_align_matmul,
 )
+from detectorch_tpu.ops import keypoints as kp_ops
 from detectorch_tpu.ops.pallas.roi_align_kernel import multilevel_roi_align_pallas
 
 
@@ -71,6 +72,8 @@ class ModelOutputs(NamedTuple):
     bbox_deltas: jax.Array          # (N, 4C)
     roi_align_exact: jax.Array = True  # () bool: False if any roi overflowed
                                        # the Pallas slab (engine re-runs exact)
+    keypoints: Optional[jax.Array] = None  # (K, P, 4) [x, y, logit, prob]
+                                           # decoded keypoints, or None
 
 
 def _fpn_level_proposals(params, cfg: ModelConfig, pyramid, im_h, im_w, im_scale):
@@ -270,6 +273,32 @@ def make_inference_fn(
                 mask_probs, dets.classes[:, None, None, None], axis=-1
             )[..., 0]
 
+        # --- keypoint branch (on final detections, Detectron KRCNN flow) --
+        keypoints = None
+        if cfg.keypoint is not None:
+            kcfg = cfg.keypoint
+            kp_rois = dets.boxes * im_scale
+            if cfg.use_fpn:
+                kp_levels = map_rois_to_fpn_levels(
+                    kp_rois, cfg.fpn.roi_min_level, cfg.fpn.roi_max_level,
+                    cfg.fpn.roi_canonical_scale, cfg.fpn.roi_canonical_level,
+                ) - cfg.fpn.roi_min_level
+                kp_feats, kp_exact = _fpn_roi_align(
+                    cfg, level_feats, kp_rois, kp_levels, kcfg.roi_size
+                )
+                align_exact = align_exact & kp_exact
+            else:
+                kp_feats = roi_align_matmul(
+                    c4[0], kp_rois, kcfg.roi_size, kcfg.roi_size,
+                    cfg.spatial_scale, cfg.roi_sampling_ratio,
+                    precision=cfg.roi_align_precision, roi_chunk=64,
+                )
+            kp_feats = kp_feats.astype(jnp.dtype(cfg.compute_dtype))
+            heatmaps = heads_mod.keypoint_head(
+                params, kp_feats, kcfg.num_convs
+            )  # (K, 56, 56, P) fp32 logits
+            keypoints = kp_ops.heatmaps_to_keypoints(heatmaps, dets.boxes)
+
         return ModelOutputs(
             detections=dets,
             masks=masks,
@@ -278,6 +307,7 @@ def make_inference_fn(
             cls_scores=cls_scores,
             bbox_deltas=bbox_deltas,
             roi_align_exact=align_exact,
+            keypoints=keypoints,
         )
 
     return forward
@@ -337,6 +367,48 @@ def make_mask_fn(cfg: ModelConfig):
     return forward
 
 
+def make_keypoint_fn(cfg: ModelConfig):
+    """Keypoint-only program: final detection boxes -> decoded keypoints.
+
+    fn(params, image, im_scale, orig_h, orig_w, boxes) ->
+      (keypoints (K, P, 4), align_exact ()) with boxes (K, 4) in
+    ORIGINAL-image coords. Same role as make_mask_fn for the engine's
+    multi-scale path: the keypoint branch runs once on the merged
+    detections at the canonical scale."""
+    assert cfg.keypoint is not None, "make_keypoint_fn needs a keypoint config"
+
+    def forward(params, image, im_scale, orig_h, orig_w, boxes):
+        del orig_h, orig_w
+        x = image[None].astype(jnp.dtype(cfg.compute_dtype))
+        align_exact = jnp.bool_(True)
+        kcfg = cfg.keypoint
+        kp_rois = boxes.astype(jnp.float32) * im_scale
+        if cfg.use_fpn:
+            feats = resnet_mod.multilevel_body(params, x, cfg.arch)
+            pyramid = fpn_mod.fpn_neck(params, feats, cfg.arch)
+            level_feats = [p[0] for p in pyramid]
+            kp_levels = map_rois_to_fpn_levels(
+                kp_rois, cfg.fpn.roi_min_level, cfg.fpn.roi_max_level,
+                cfg.fpn.roi_canonical_scale, cfg.fpn.roi_canonical_level,
+            ) - cfg.fpn.roi_min_level
+            kp_feats, kp_exact = _fpn_roi_align(
+                cfg, level_feats, kp_rois, kp_levels, kcfg.roi_size
+            )
+            align_exact = align_exact & kp_exact
+        else:
+            c4 = resnet_mod.c4_body(params, x, cfg.arch)
+            kp_feats = roi_align_matmul(
+                c4[0], kp_rois, kcfg.roi_size, kcfg.roi_size,
+                cfg.spatial_scale, cfg.roi_sampling_ratio,
+                precision=cfg.roi_align_precision, roi_chunk=64,
+            )
+        kp_feats = kp_feats.astype(jnp.dtype(cfg.compute_dtype))
+        heatmaps = heads_mod.keypoint_head(params, kp_feats, kcfg.num_convs)
+        return kp_ops.heatmaps_to_keypoints(heatmaps, boxes), align_exact
+
+    return forward
+
+
 def init_params(cfg: ModelConfig, seed: int = 0) -> Dict[str, jnp.ndarray]:
     """Random parameters with the same blob names the caffe2 importer emits —
     lets every code path (and benchmarks) run without real weights."""
@@ -363,5 +435,13 @@ def init_params(cfg: ModelConfig, seed: int = 0) -> Dict[str, jnp.ndarray]:
     if cfg.use_mask:
         p.update(
             heads_mod.init_mask_head_params(cfg.mask.head_type, cfg.num_classes, seed=seed + 4)
+        )
+    if cfg.keypoint is not None:
+        p.update(
+            heads_mod.init_keypoint_head_params(
+                cfg.keypoint.num_keypoints, cfg.keypoint.num_convs,
+                cfg.keypoint.conv_dim,
+                cfg.fpn.channels if cfg.use_fpn else 1024, seed=seed + 5,
+            )
         )
     return p

@@ -105,6 +105,58 @@ def mask_head(params, roi_feats, head_type: str, arch: str = "resnet50",
     return jax.nn.sigmoid(logits) if output_prob else logits
 
 
+def deconv4x4s2(params, x, name: str):
+    """ConvTranspose2d(kernel 4, stride 2, padding 1): exact 2x upsample
+    (out = 2*in). Implemented as a conv over the 2x-dilated input with the
+    flipped kernel and padding k-1-p = 2 — the standard transposed-conv
+    identity, which XLA fuses like any other conv. Weights stored
+    (C_in, C_out, 4, 4) (caffe2 ConvTranspose layout, as conv5_mask)."""
+    w = params[f"{name}_w"]
+    b = params[f"{name}_b"].astype(x.dtype)
+    w_hwio = jnp.transpose(w[:, :, ::-1, ::-1], (2, 3, 0, 1)).astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        x, w_hwio, window_strides=(1, 1), padding=((2, 2), (2, 2)),
+        lhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + b
+
+
+def bilinear_upsample2x(x):
+    """Fixed-weight bilinear 2x upsample: depthwise transposed conv k4/s2/p1
+    with the bilinear filler (0.25, 0.75, 0.75, 0.25) — upstream Detectron's
+    BilinearInterpolation op (used by the keypoint predictor). Not learned;
+    never imported."""
+    c = x.shape[-1]
+    f = jnp.asarray([0.25, 0.75, 0.75, 0.25], x.dtype)
+    k = jnp.outer(f, f)  # symmetric: flip-invariant
+    w = jnp.tile(k[:, :, None, None], (1, 1, 1, c))
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding=((2, 2), (2, 2)),
+        lhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
+
+
+def keypoint_head(params, roi_feats, num_convs: int = 8):
+    """Keypoint branch on post-NMS detection rois (upstream Detectron
+    add_roi_pose_head_v1convX + kps predictor; the reference repo has no
+    keypoint model — see config.KeypointConfig).
+
+    roi_feats: (N, 14, 14, 256) RoIAligned FPN features.
+    Returns (N, 56, 56, K) fp32 heatmap LOGITS: 8x (3x3 conv 512 + relu)
+    trunk, 4x4/2 deconv to K channels at 28x28 (kps_score_lowres), fixed
+    bilinear 2x upsample to 56x56.
+    """
+    x = roi_feats
+    for i in range(1, num_convs + 1):
+        x = jax.nn.relu(
+            conv(x, params[f"conv_fcn{i}_w"], pad=1)
+            + params[f"conv_fcn{i}_b"].astype(x.dtype)
+        )
+    x = deconv4x4s2(params, x, "kps_score_lowres")  # (N, 28, 28, K)
+    return bilinear_upsample2x(x.astype(jnp.float32))  # (N, 56, 56, K)
+
+
 # ---------------------------------------------------------------------------
 # Random init
 # ---------------------------------------------------------------------------
@@ -123,6 +175,25 @@ def init_box_head_params(box_head: str = "mlp", feat_ch: int = 1024,
     p["cls_score_b"] = np.zeros(num_classes, np.float32)
     p["bbox_pred_w"] = (rng.randn(4 * num_classes, feat_ch) * 0.001).astype(np.float32)
     p["bbox_pred_b"] = np.zeros(4 * num_classes, np.float32)
+    return p
+
+
+def init_keypoint_head_params(num_keypoints: int = 17, num_convs: int = 8,
+                              conv_dim: int = 512, in_ch: int = 256,
+                              seed: int = 6):
+    rng = np.random.RandomState(seed)
+    p = {}
+    c = in_ch
+    for i in range(1, num_convs + 1):
+        p[f"conv_fcn{i}_w"] = (
+            rng.randn(3, 3, c, conv_dim) * 0.01
+        ).astype(np.float32)
+        p[f"conv_fcn{i}_b"] = np.zeros(conv_dim, np.float32)
+        c = conv_dim
+    p["kps_score_lowres_w"] = (
+        rng.randn(conv_dim, num_keypoints, 4, 4) * 0.01
+    ).astype(np.float32)
+    p["kps_score_lowres_b"] = np.zeros(num_keypoints, np.float32)
     return p
 
 

@@ -59,17 +59,108 @@ def vis_class(img, pos, class_str, font_scale: float = 0.35):
     return img
 
 
+# COCO person keypoint order (data/synth.COCO_PERSON_KEYPOINTS) and the
+# reference's kp_connections graph (vis.py:47-64, name-based)
+_KP_NAMES = [
+    "nose", "left_eye", "right_eye", "left_ear", "right_ear",
+    "left_shoulder", "right_shoulder", "left_elbow", "right_elbow",
+    "left_wrist", "right_wrist", "left_hip", "right_hip",
+    "left_knee", "right_knee", "left_ankle", "right_ankle",
+]
+
+_KP_LINES = [
+    ("left_eye", "right_eye"), ("left_eye", "nose"), ("right_eye", "nose"),
+    ("right_eye", "right_ear"), ("left_eye", "left_ear"),
+    ("right_shoulder", "right_elbow"), ("right_elbow", "right_wrist"),
+    ("left_shoulder", "left_elbow"), ("left_elbow", "left_wrist"),
+    ("right_hip", "right_knee"), ("right_knee", "right_ankle"),
+    ("left_hip", "left_knee"), ("left_knee", "left_ankle"),
+    ("right_shoulder", "left_shoulder"), ("right_hip", "left_hip"),
+]
+
+
+def _rainbow_bgr_colors(n: int):
+    """n colors along matplotlib's 'rainbow' map as BGR uint8 tuples —
+    computed directly (purple->red linear hue sweep: r=t ramp, g=sin arc,
+    b=cos falloff) so the cv2 renderer needs no matplotlib import."""
+    t = np.linspace(0.0, 1.0, n)
+    r = t
+    g = np.sin(t * np.pi)
+    b = np.cos(t * np.pi / 2)
+    return [
+        (float(bb * 255), float(gg * 255), float(rr * 255))
+        for rr, gg, bb in zip(r, g, b)
+    ]
+
+
+def vis_keypoints(img, kps, kp_thresh: float = 2.0, alpha: float = 0.7,
+                  kp_names: Sequence[str] = _KP_NAMES):
+    """Draw one instance's keypoint skeleton (reference vis.py:140-196,
+    carried there as commented-out code — re-enabled here). kps is (P, 4)
+    keypoint-major [x, y, logit, prob] (ops/keypoints.py payload; the
+    reference's is the (4, P) transpose); kp_thresh gates on the logit."""
+    import cv2
+
+    kps = np.asarray(kps, np.float64)
+    lines = [
+        (kp_names.index(a), kp_names.index(b)) for a, b in _KP_LINES
+        if a in kp_names and b in kp_names
+    ]
+    colors = _rainbow_bgr_colors(len(lines) + 2)
+    kp_mask = np.copy(img)
+
+    def pt(xy):
+        return int(round(xy[0])), int(round(xy[1]))
+
+    # mid-shoulder -> nose and mid-shoulder -> mid-hip trunk lines first
+    name_idx = {n: i for i, n in enumerate(kp_names)}
+    if all(n in name_idx for n in
+           ("left_shoulder", "right_shoulder", "left_hip", "right_hip",
+            "nose")):
+        ls, rs = name_idx["left_shoulder"], name_idx["right_shoulder"]
+        lh, rh = name_idx["left_hip"], name_idx["right_hip"]
+        nose = name_idx["nose"]
+        mid_shoulder = (kps[ls, :2] + kps[rs, :2]) / 2.0
+        sc_mid_shoulder = min(kps[ls, 2], kps[rs, 2])
+        mid_hip = (kps[lh, :2] + kps[rh, :2]) / 2.0
+        sc_mid_hip = min(kps[lh, 2], kps[rh, 2])
+        if sc_mid_shoulder > kp_thresh and kps[nose, 2] > kp_thresh:
+            cv2.line(kp_mask, pt(mid_shoulder), pt(kps[nose, :2]),
+                     color=colors[len(lines)], thickness=2,
+                     lineType=cv2.LINE_AA)
+        if sc_mid_shoulder > kp_thresh and sc_mid_hip > kp_thresh:
+            cv2.line(kp_mask, pt(mid_shoulder), pt(mid_hip),
+                     color=colors[len(lines) + 1], thickness=2,
+                     lineType=cv2.LINE_AA)
+
+    for l, (i1, i2) in enumerate(lines):
+        if kps[i1, 2] > kp_thresh and kps[i2, 2] > kp_thresh:
+            cv2.line(kp_mask, pt(kps[i1, :2]), pt(kps[i2, :2]),
+                     color=colors[l], thickness=2, lineType=cv2.LINE_AA)
+        if kps[i1, 2] > kp_thresh:
+            cv2.circle(kp_mask, pt(kps[i1, :2]), radius=3, color=colors[l],
+                       thickness=-1, lineType=cv2.LINE_AA)
+        if kps[i2, 2] > kp_thresh:
+            cv2.circle(kp_mask, pt(kps[i2, :2]), radius=3, color=colors[l],
+                       thickness=-1, lineType=cv2.LINE_AA)
+
+    return cv2.addWeighted(img, 1.0 - alpha, kp_mask, alpha, 0)
+
+
 def vis_one_image_opencv(
     img_rgb: np.ndarray,
     boxes: np.ndarray,
     scores: np.ndarray,
     classes: Sequence[int],
     rles: Optional[List] = None,
+    keypoints: Optional[np.ndarray] = None,
     thresh: float = 0.7,
+    kp_thresh: float = 2.0,
     class_names: Sequence[str] = COCO_CLASSES,
     show_class: bool = True,
 ):
-    """Draw detections; returns an RGB uint8 image."""
+    """Draw detections; returns an RGB uint8 image. `keypoints` is
+    (N, P, 4) decoded keypoints (engine result dict key 'keypoints')."""
     img = img_rgb.copy()
     if len(boxes) == 0:
         return img
@@ -87,6 +178,8 @@ def vis_one_image_opencv(
             color = cmap[mask_color_id % len(cmap)]
             mask_color_id += 1
             img = vis_mask(img, rle_mod.decode(rles[i]), color)
+        if keypoints is not None and i < len(keypoints):
+            img = vis_keypoints(img, keypoints[i], kp_thresh)
     return img
 
 
@@ -96,6 +189,7 @@ def vis_one_image(
     scores,
     classes,
     rles=None,
+    keypoints=None,
     thresh: float = 0.7,
     output_path: Optional[str] = None,
     class_names: Sequence[str] = COCO_CLASSES,
@@ -103,7 +197,8 @@ def vis_one_image(
     """Render and optionally save (reference vis_one_image writes
     demo/output/sample.jpg)."""
     out = vis_one_image_opencv(
-        img_rgb, boxes, scores, classes, rles, thresh, class_names
+        img_rgb, boxes, scores, classes, rles, keypoints,
+        thresh=thresh, class_names=class_names,
     )
     if output_path:
         import cv2

@@ -51,6 +51,30 @@ def test_opencv_renderer_saves(dets, tmp_path):
     assert os.path.getsize(path) > 1000
 
 
+def test_opencv_renderer_draws_keypoints(dets):
+    """Skeleton rendering (reference vis.py:140-196): keypoints above the
+    logit threshold change pixels; all below threshold change nothing."""
+    from detectorch_tpu.utils.vis import vis_keypoints
+
+    img, boxes, scores, classes, _ = dets
+    rng = np.random.RandomState(5)
+    kps = np.zeros((2, 17, 4), np.float32)
+    for i, (x1, y1, x2, y2) in enumerate(boxes):
+        kps[i, :, 0] = rng.uniform(x1, x2, 17)
+        kps[i, :, 1] = rng.uniform(y1, y2, 17)
+        kps[i, :, 2] = 5.0  # logit above kp_thresh=2
+        kps[i, :, 3] = 0.9
+    out = vis_one_image_opencv(
+        img, boxes, scores, classes, keypoints=kps, thresh=0.5,
+    )
+    assert (out != img).any()
+
+    cold = kps.copy()
+    cold[:, :, 2] = -5.0  # everything below threshold: no skeleton at all
+    unchanged = vis_keypoints(img, cold[0])
+    assert (unchanged == img).all()
+
+
 @pytest.mark.parametrize("ext", ["pdf", "png"])
 def test_matplotlib_renderer_saves(dets, tmp_path, ext):
     img, boxes, scores, classes, rles = dets

@@ -65,7 +65,8 @@ def main():
     else:
         vis_one_image(
             im, res["boxes"], res["scores"], res["classes"],
-            res.get("rles"), thresh=args.thresh, output_path=args.out,
+            res.get("rles"), res.get("keypoints"),
+            thresh=args.thresh, output_path=args.out,
         )
         print(f"wrote {args.out}")
 

@@ -94,10 +94,13 @@ def main():
         print(f"box AP: {bbox_stats[0] * 100:.1f}")
     if segm_stats is not None:
         print(f"mask AP: {segm_stats[0] * 100:.1f}")
+    if info.get("keypoints_stats") is not None:
+        print(f"keypoint AP: {info['keypoints_stats'][0] * 100:.1f}")
     if args.out:
         with open(args.out, "w") as f:
             json.dump(
-                {"bbox": info["bbox"], "segm": info["segm"]}, f
+                {"bbox": info["bbox"], "segm": info["segm"],
+                 "keypoints": info.get("keypoints", [])}, f
             )
         print(f"wrote {args.out}")
 
