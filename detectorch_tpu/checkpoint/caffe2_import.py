@@ -73,8 +73,8 @@ def import_params(
             o = w.shape[0]
             w = w.reshape(o, 256, cfg.roi_size, cfg.roi_size)
             w = np.ascontiguousarray(w.transpose(0, 2, 3, 1)).reshape(o, -1)
-        elif name == "conv5_mask_w":
-            pass  # (C_in, C_out, 2, 2) — native deconv2x2 layout
+        elif name in ("conv5_mask_w", "kps_score_lowres_w"):
+            pass  # ConvTranspose blobs: native (C_in, C_out, kh, kw) layout
         elif w.ndim == 4:
             w = _conv_to_hwio(w)
         ref_shape = tuple(np.asarray(ref).shape)
@@ -137,7 +137,7 @@ def export_to_caffe2_layout(params: Dict[str, np.ndarray], cfg: ModelConfig):
             o = w.shape[0]
             w = w.reshape(o, cfg.roi_size, cfg.roi_size, 256)
             w = w.transpose(0, 3, 1, 2).reshape(o, -1)
-        elif name == "conv5_mask_w":
+        elif name in ("conv5_mask_w", "kps_score_lowres_w"):
             pass
         elif w.ndim == 4:
             w = w.transpose(3, 2, 0, 1)

@@ -147,7 +147,7 @@ def build_synth_coco(
             "seed": seed, "max_objects": max_objects,
             "crowd_every": crowd_every, "img_format": img_format,
             "with_keypoints": with_keypoints,
-            "version": 4}
+            "version": 5}
     if os.path.exists(manifest):
         with open(manifest) as f:
             if json.load(f) == spec:
@@ -159,9 +159,12 @@ def build_synth_coco(
         for i, jid in enumerate(COCO_JSON_IDS)
     ]
     if with_keypoints:
-        # standard COCO person keypoint names/skeleton (person is id 1)
-        categories[0]["keypoints"] = COCO_PERSON_KEYPOINTS
-        categories[0]["skeleton"] = COCO_PERSON_SKELETON
+        # person_keypoints_*.json schema: the person category alone, with
+        # the standard 17 keypoint names + skeleton; non-person shapes are
+        # still drawn as unannotated distractors (like real backgrounds)
+        categories = [dict(categories[0],
+                           keypoints=COCO_PERSON_KEYPOINTS,
+                           skeleton=COCO_PERSON_SKELETON)]
     images, annotations = [], []
     ann_id = 1
     for idx in range(n_images):
@@ -175,8 +178,14 @@ def build_synth_coco(
             im[:, :, ch] = base[ch] + gx * xx / width + gy * yy / height
 
         n_obj = rng.randint(1, max_objects + 1)
-        for _ in range(n_obj):
-            cls_i, color, kind = archetypes[rng.randint(len(archetypes))]
+        for obj_i in range(n_obj):
+            # A keypoint dataset needs persons: force the first object of
+            # every image to the person archetype so each image has gt
+            # keypoints regardless of seed.
+            if with_keypoints and obj_i == 0:
+                cls_i, color, kind = archetypes[0]
+            else:
+                cls_i, color, kind = archetypes[rng.randint(len(archetypes))]
             rx = rng.uniform(14, 60)
             ry = rx * rng.uniform(0.6, 1.6)
             cx = rng.uniform(rx, width - rx)
@@ -206,14 +215,17 @@ def build_synth_coco(
                 "area": float(area),
                 "iscrowd": is_crowd,
             }
-            if with_keypoints and cls_i == 1 and not is_crowd:
-                ann["keypoints"] = _person_keypoints(
-                    cx, cy, rx, ry, angle, x1, y1, x2, y2
-                )
-                ann["num_keypoints"] = 17
-            elif with_keypoints:
-                ann["keypoints"] = [0.0] * 51
-                ann["num_keypoints"] = 0
+            if with_keypoints:
+                if cls_i != 1:
+                    continue  # non-person shapes are unannotated distractors
+                if is_crowd:
+                    ann["keypoints"] = [0.0] * 51
+                    ann["num_keypoints"] = 0
+                else:
+                    ann["keypoints"] = _person_keypoints(
+                        cx, cy, rx, ry, angle, x1, y1, x2, y2
+                    )
+                    ann["num_keypoints"] = 17
             annotations.append(ann)
             ann_id += 1
 

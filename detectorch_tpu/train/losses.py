@@ -36,6 +36,22 @@ def softmax_cross_entropy(logits, labels, valid=None):
     return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1.0)
 
 
+def keypoint_loss(kp_logits, kp_labels, kp_valid):
+    """Keypoint heatmap loss: per-keypoint softmax cross-entropy over the
+    S*S spatial bins, averaged over valid (labeled, in-roi, fg) keypoints
+    (upstream Detectron spatial_softmax_loss for KRCNN, normalized by
+    visible keypoints; the reference repo has no keypoint training code).
+
+    kp_logits (R, S, S, P); kp_labels (R, P) flat bin index y*S + x;
+    kp_valid (R, P) bool."""
+    r, s, _, p = kp_logits.shape
+    flat = jnp.transpose(kp_logits, (0, 3, 1, 2)).reshape(r, p, s * s)
+    logp = jax.nn.log_softmax(flat.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, kp_labels[..., None], axis=-1)[..., 0]
+    w = kp_valid.astype(jnp.float32)
+    return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
 def accuracy(logits, labels, valid=None):
     """reference loss.py:22-26."""
     correct = (jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32)

@@ -34,9 +34,17 @@ class TrainState(NamedTuple):
 
 def box_branch_loss(params, cfg: ModelConfig, image, rois, labels,
                     bbox_targets, bbox_inside_weights, bbox_outside_weights,
-                    valid):
-    """Single-image Fast R-CNN loss (reference train_fast.py:141-155)."""
+                    valid, kp_labels=None, kp_valid=None):
+    """Single-image Fast R-CNN loss (reference train_fast.py:141-155).
+
+    When ``cfg.keypoint`` is set and kp_labels/kp_valid (Rk, P) are given,
+    the KRCNN keypoint branch also runs on the FIRST Rk rois (the sampler
+    places foreground rows first, so a static slice of fg-capacity rows
+    covers every possible fg roi; padded/bg rows carry kp_valid=False) and
+    its spatial-softmax loss is added (upstream Detectron keypoint_rcnn
+    training; the reference repo has no keypoint training code)."""
     x = image[None].astype(jnp.dtype(cfg.compute_dtype))
+    pyramid = c4 = None
     if cfg.use_fpn:
         feats = resnet_mod.multilevel_body(params, x, cfg.arch)
         pyramid = fpn_mod.fpn_neck(params, feats, cfg.arch)
@@ -72,9 +80,37 @@ def box_branch_loss(params, cfg: ModelConfig, image, rois, labels,
         bbox_inside_weights * vmask, bbox_outside_weights * vmask,
     ) * bbox_pred.shape[0] / n_valid
     acc = losses.accuracy(cls_logits, labels, valid)
-    return loss_cls + loss_bbox, {
-        "loss_cls": loss_cls, "loss_bbox": loss_bbox, "accuracy": acc,
-    }
+    total = loss_cls + loss_bbox
+    metrics = {"loss_cls": loss_cls, "loss_bbox": loss_bbox, "accuracy": acc}
+
+    if cfg.keypoint is not None and kp_labels is not None:
+        kcfg = cfg.keypoint
+        krois = rois[: kp_labels.shape[0]]
+        if cfg.use_fpn:
+            klevels = map_rois_to_fpn_levels(
+                krois, cfg.fpn.roi_min_level, cfg.fpn.roi_max_level,
+                cfg.fpn.roi_canonical_scale, cfg.fpn.roi_canonical_level,
+            ) - cfg.fpn.roi_min_level
+            kp_feats = multilevel_roi_align(
+                [p[0] for p in pyramid], krois, klevels,
+                cfg.fpn_spatial_scales, kcfg.roi_size, kcfg.roi_size,
+                cfg.roi_sampling_ratio,
+            )
+        else:
+            kp_feats = roi_align_matmul(
+                c4[0], krois, kcfg.roi_size, kcfg.roi_size,
+                cfg.spatial_scale, cfg.roi_sampling_ratio,
+                precision=cfg.roi_align_precision,
+            )
+        heatmaps = heads_mod.keypoint_head(
+            params, kp_feats.astype(jnp.dtype(cfg.compute_dtype)),
+            kcfg.num_convs,
+        )
+        loss_kps = losses.keypoint_loss(heatmaps, kp_labels, kp_valid)
+        total = total + loss_kps
+        metrics["loss_kps"] = loss_kps
+
+    return total, metrics
 
 
 def expand_bbox_targets_device(compact, num_classes: int):
@@ -118,16 +154,24 @@ def make_train_step(cfg: ModelConfig, solver_cfg: SolverConfig = SolverConfig(),
     bbox_targets_compact (B,R,5) which the step expands to the 4K form +
     weight tensors on device.
     """
+    has_kp = cfg.keypoint is not None
+
     def batched_loss(params, batch):
-        def one(image, rois, labels, t, iw, ow, valid):
+        # keypoint presets carry two extra per-image blobs: kp_labels
+        # (B, Rk, P) heatmap bin indices + kp_valid (B, Rk, P) over the
+        # first Rk (fg-capacity) roi rows (train/sampler.sample_rois)
+        kp = (batch["kp_labels"], batch["kp_valid"]) if has_kp else ()
+
+        def one(image, rois, labels, t, iw, ow, valid, *kp_args):
             return box_branch_loss(
-                params, cfg, image, rois, labels, t, iw, ow, valid
+                params, cfg, image, rois, labels, t, iw, ow, valid, *kp_args
             )
 
         if device_input:
             from detectorch_tpu.data.device_input import device_preprocess
 
-            def one_raw(raw, tables, meta, rois, labels, compact, valid):
+            def one_raw(raw, tables, meta, rois, labels, compact, valid,
+                        *kp_args):
                 out_h, out_w = blob_hw  # static: the fixed training bucket
                 image = device_preprocess(
                     raw,
@@ -138,20 +182,19 @@ def make_train_step(cfg: ModelConfig, solver_cfg: SolverConfig = SolverConfig(),
                 )
                 t, iw = expand_bbox_targets_device(compact, cfg.num_classes)
                 ow = (iw > 0).astype(iw.dtype)
-                return one(image, rois, labels, t, iw, ow, valid)
+                return one(image, rois, labels, t, iw, ow, valid, *kp_args)
 
-            total, metrics = jax.vmap(
-                one_raw, in_axes=(0, 0, 0, 0, 0, 0, 0)
-            )(
+            total, metrics = jax.vmap(one_raw)(
                 batch["raw"], batch["tables"], batch["meta"], batch["rois"],
-                batch["labels"], batch["bbox_targets_compact"], batch["valid"],
+                batch["labels"], batch["bbox_targets_compact"],
+                batch["valid"], *kp,
             )
             return jnp.mean(total), jax.tree.map(jnp.mean, metrics)
 
         total, metrics = jax.vmap(one)(
             batch["image"], batch["rois"], batch["labels"],
             batch["bbox_targets"], batch["bbox_inside_weights"],
-            batch["bbox_outside_weights"], batch["valid"],
+            batch["bbox_outside_weights"], batch["valid"], *kp,
         )
         return jnp.mean(total), jax.tree.map(jnp.mean, metrics)
 

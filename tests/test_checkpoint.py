@@ -15,7 +15,7 @@ from detectorch_tpu.models.detector import init_params, make_inference_fn
 
 @pytest.mark.parametrize(
     "name", ["e2e_mask_rcnn_R-50-FPN_2x", "e2e_mask_rcnn_R-50-C4_2x",
-             "e2e_mask_rcnn_R-101-FPN_2x"]
+             "e2e_mask_rcnn_R-101-FPN_2x", "e2e_keypoint_rcnn_R-50-FPN_1x"]
 )
 def test_roundtrip_import(name, tmp_path):
     """export -> caffe2 pkl -> import reproduces params bit-for-bit."""

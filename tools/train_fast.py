@@ -25,7 +25,9 @@ def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--ann", required=True, help="COCO annotation json")
     p.add_argument("--imdir", required=True, help="image directory")
-    p.add_argument("--proposals", required=True, help="proposal .pkl file")
+    p.add_argument("--proposals", default=None,
+                   help="proposal .pkl file; omitted -> train on gt boxes "
+                        "only (the usual choice for --keypoints)")
     p.add_argument("--base-cnn", default=None, help="ImageNet base CNN .pkl")
     p.add_argument("--arch", default="resnet50", choices=["resnet50", "resnet101"])
     p.add_argument("--fpn", action="store_true")
@@ -42,6 +44,18 @@ def parse_args():
                    help="upload raw uint8 and resize/normalise on device "
                         "(~10x less H2D per iteration; flips applied to "
                         "the uint8 pixels host-side)")
+    p.add_argument("--target-size", type=int, default=800,
+                   help="resize shorter side to this (reference 800)")
+    p.add_argument("--max-size", type=int, default=1333,
+                   help="cap longer side at this (reference 1333)")
+    p.add_argument("--blob", type=int, nargs=2, default=(1344, 1344),
+                   metavar=("H", "W"),
+                   help="fixed training blob bucket (one compiled program)")
+    p.add_argument("--rois-per-image", type=int, default=512)
+    p.add_argument("--keypoints", action="store_true",
+                   help="train the Keypoint R-CNN preset (box branch + "
+                        "KRCNN keypoint head) from a person-keypoints "
+                        "dataset; --fpn is implied")
     return p.parse_args()
 
 
@@ -68,18 +82,25 @@ def main():
     from detectorch_tpu.train.train_step import make_train_step
     from detectorch_tpu.utils.stats import TrainingStats
 
-    preset = "fast_rcnn_R-50-FPN_2x" if args.fpn else "fast_rcnn_R-50-C4_2x"
+    if args.keypoints:
+        preset = "e2e_keypoint_rcnn_R-50-FPN_1x"
+    else:
+        preset = "fast_rcnn_R-50-FPN_2x" if args.fpn else "fast_rcnn_R-50-C4_2x"
     cfg = PRESETS[preset].replace(arch=args.arch)
     solver = SolverConfig(
         base_lr=args.base_lr, max_iter=args.max_iter,
         checkpoint_period=args.checkpoint_period,
     )
-    sampler_cfg = SamplerConfig()
-    test_cfg = TestConfig()
+    sampler_cfg = SamplerConfig(rois_per_image=args.rois_per_image)
+    test_cfg = TestConfig(target_size=args.target_size, max_size=args.max_size)
 
     print("loading roidb...", flush=True)
-    ds, roidb = roidb_for_training(args.ann, args.imdir, args.proposals)
+    ds, roidb = roidb_for_training(args.ann, args.imdir, args.proposals,
+                                   require_keypoints=args.keypoints)
     print(f"roidb: {len(roidb)} entries", flush=True)
+    # static fg-capacity row count for the keypoint branch (the sampler
+    # places fg rows first, so slicing the first kp_rows rows covers them)
+    kp_rows = int(np.round(sampler_cfg.fg_fraction * sampler_cfg.rois_per_image))
 
     params = init_params(cfg, seed=args.seed)
     if args.base_cnn:
@@ -87,7 +108,7 @@ def main():
         params.update(c2.import_base_cnn(blobs, cfg.arch))
         print("loaded base CNN weights", flush=True)
 
-    blob_hw = (1344, 1344)  # one fixed training bucket -> one program
+    blob_hw = tuple(args.blob)  # one fixed training bucket -> one program
     init_state, make_step = make_train_step(
         cfg, solver, device_input=args.device_preprocess, blob_hw=blob_hw
     )
@@ -132,7 +153,8 @@ def main():
         if args.device_preprocess:
             batch = {k: [] for k in ["raw", "tables", "meta", "rois",
                                      "labels", "bbox_targets_compact",
-                                     "valid"]}
+                                     "valid"]
+                     + (["kp_labels", "kp_valid"] if args.keypoints else [])}
             for _ in range(batch_size):
                 e = roidb[rng.randint(len(roidb))]
                 im = T.load_image_rgb(e.file_path)
@@ -168,6 +190,9 @@ def main():
                 batch["bbox_targets_compact"].append(
                     blobs["bbox_targets_compact"])
                 batch["valid"].append(blobs["valid"])
+                if args.keypoints:
+                    batch["kp_labels"].append(blobs["kp_labels"][:kp_rows])
+                    batch["kp_valid"].append(blobs["kp_valid"][:kp_rows])
             return {
                 k: jax.device_put(np.stack(v), data_sharding)
                 for k, v in batch.items()
@@ -189,6 +214,11 @@ def main():
             batch["image"].append(image)
             for k in keys[1:]:
                 batch[k].append(blobs[k if k != "valid" else "valid"])
+            if args.keypoints:
+                batch.setdefault("kp_labels", []).append(
+                    blobs["kp_labels"][:kp_rows])
+                batch.setdefault("kp_valid", []).append(
+                    blobs["kp_valid"][:kp_rows])
         return {
             k: jax.device_put(np.stack(v), data_sharding)
             for k, v in batch.items()
@@ -199,9 +229,12 @@ def main():
         batch = make_batch()
         state, metrics = step_fn(state, batch)
         stats.iter_toc()
+        loss_keys = ("loss", "loss_cls", "loss_bbox") + (
+            ("loss_kps",) if args.keypoints else ()
+        )
         stats.update_iter_stats(
             it,
-            {k: metrics[k] for k in ("loss", "loss_cls", "loss_bbox")},
+            {k: metrics[k] for k in loss_keys},
             {"accuracy": metrics["accuracy"]},
         )
         stats.log_iter_stats(it, float(metrics["lr"]))
