@@ -88,6 +88,13 @@ def prepare_dataset(root: str = HARNESS_ROOT):
     return CocoDataset(ann, imdir), props
 
 
+def prepare_keypoint_dataset(root: str = HARNESS_ROOT + "_kp"):
+    """person_keypoints-schema synthetic set for the keypoint-preset row."""
+    ann, imdir = build_synth_coco(root, n_images=16, height=224, width=288,
+                                  seed=6, with_keypoints=True)
+    return CocoDataset(ann, imdir)
+
+
 # ---------------------------------------------------------------------------
 # probe-weight construction
 # ---------------------------------------------------------------------------
@@ -96,11 +103,16 @@ FAMILY_PRESET = {
     "r50_c4": "e2e_mask_rcnn_R-50-C4_2x",
     "r50_fpn": "e2e_mask_rcnn_R-50-FPN_2x",
     "r101_fpn": "e2e_mask_rcnn_R-101-FPN_2x",
+    # keypoint family: 2-class (person) head probes + KRCNN deconv probe,
+    # trained on the person-keypoints synthetic set
+    "r50_fpn_kp": "e2e_keypoint_rcnn_R-50-FPN_1x",
 }
 
 
 def family_of(preset: str) -> str:
     cfg = PRESETS[preset]
+    if cfg.keypoint is not None:
+        return "r50_fpn_kp"
     return ("r101_" if cfg.arch == "resnet101" else "r50_") + (
         "fpn" if cfg.use_fpn else "c4"
     )
@@ -297,6 +309,60 @@ def _mask_trunk_feats(cfg, params, backbone, rois):
     return x.detach().numpy()
 
 
+def _kp_trunk_feats(cfg, params, backbone, rois):
+    """Mirror KRCNN trunk activations for given rois: (K, 512, 14, 14)."""
+    roi_feats = TM.fpn_mirror_roi_align(
+        backbone, rois, cfg.keypoint.roi_size, cfg.roi_sampling_ratio
+    )
+    return TM.keypoint_trunk(
+        params, roi_feats, cfg.keypoint.num_convs
+    ).detach().numpy()
+
+
+def _train_kp_probe(kfeats, bins, vis, params, steps=300):
+    """Train kps_score_lowres (4x4/2 deconv 512->P) on mirror trunk
+    activations with per-keypoint spatial cross-entropy to the 56x56 gt
+    heatmap bins (the trunk stays at its random init, exactly like the
+    mask probe trains only mask_fcn_logits)."""
+    x = torch.from_numpy(kfeats).float()               # (K, 512, 14, 14)
+    n_kp = params["kps_score_lowres_w"].shape[1]
+    torch.manual_seed(13)
+    w = torch.zeros(x.shape[1], n_kp, 4, 4, requires_grad=True)
+    b = torch.zeros(n_kp, requires_grad=True)
+    opt = torch.optim.Adam([w, b], lr=1e-2)
+    s = float(x.std() + 1e-6)
+    xn = x / s
+    idx = torch.from_numpy(bins).long()                # (K, P)
+    msk = torch.from_numpy(vis)                        # (K, P) bool
+    f = torch.tensor([0.25, 0.75, 0.75, 0.25])
+    kb = torch.outer(f, f)[None, None].repeat(n_kp, 1, 1, 1)
+
+    def logits56(weight, bias):
+        lo = F.conv_transpose2d(xn, weight, bias, stride=2, padding=1)
+        hi = F.conv_transpose2d(lo, kb, stride=2, padding=1, groups=n_kp)
+        return hi.flatten(2)                           # (K, P, 3136)
+
+    for _ in range(steps):
+        opt.zero_grad()
+        lg = logits56(w, b)
+        nll = F.cross_entropy(
+            lg.reshape(-1, lg.shape[-1]), idx.reshape(-1), reduction="none"
+        ).reshape(idx.shape)
+        loss = (nll * msk).sum() / msk.sum().clamp(min=1)
+        loss.backward()
+        opt.step()
+    # Temperature-rescale out of softmax saturation (see _train_rpn_probe):
+    # saturated per-bin logits tie in fp32 and make the ARGMAX bin order
+    # sensitive to cross-backend conv noise.
+    with torch.no_grad():
+        q = torch.quantile(logits56(w, b).abs().flatten(), 0.999)
+        lam = float(4.0 / q.clamp(min=4.0))
+    return (
+        (w * lam / s).detach().numpy().astype(np.float32),  # native layout
+        (b * lam).detach().numpy().astype(np.float32),
+    )
+
+
 def make_probe_weights(family: str, dataset: CocoDataset, cache_root: str = HARNESS_ROOT,
                        shapes: str = "harness"):
     """Probe weights for one backbone family. `shapes='production'` trains
@@ -311,7 +377,8 @@ def make_probe_weights(family: str, dataset: CocoDataset, cache_root: str = HARN
             return pickle.load(f)
 
     cfg, tcfg = harness_cfg(FAMILY_PRESET[family], shapes=shapes)
-    seed = {"r50_c4": 101, "r50_fpn": 202, "r101_fpn": 303}[family]
+    seed = {"r50_c4": 101, "r50_fpn": 202, "r101_fpn": 303,
+            "r50_fpn_kp": 404}[family]
     rng = np.random.RandomState(seed)
     params = _perturb_bn(
         {k: np.asarray(v) for k, v in init_params(cfg, seed=seed).items()}, rng
@@ -362,6 +429,7 @@ def make_probe_weights(family: str, dataset: CocoDataset, cache_root: str = HARN
     # ---- pass 2: head probes on the trained-RPN proposal distribution ---
     feats_all, labels_all, tgt_all = [], [], []
     mask_feats_all, mask_tgt_all, mask_cls_all = [], [], []
+    kp_feats_all, kp_bins_all, kp_vis_all = [], [], []
     for entry, image, scale, backbone in cached:
         h, w = _blob_dims(cfg, image, entry.height, entry.width, scale)
         if cfg.use_fpn:
@@ -387,7 +455,7 @@ def make_probe_weights(family: str, dataset: CocoDataset, cache_root: str = HARN
             tg[pos] = _bbox_targets(rois[pos], gt[gti[pos]])
         tgt_all.append(tg)
         # mask probe set: gt boxes only
-        if len(gt):
+        if cfg.use_mask and len(gt):
             mf = _mask_trunk_feats(cfg, params, backbone, gt)
             mask_feats_all.append(mf)
             for i in range(len(gt)):
@@ -395,6 +463,18 @@ def make_probe_weights(family: str, dataset: CocoDataset, cache_root: str = HARN
                     _mask_target(entry, i, gt[i] / scale, cfg.mask.resolution)
                 )
                 mask_cls_all.append(int(gt_cls[i]))
+        # keypoint probe set: gt boxes with gt keypoint heatmap bins
+        if cfg.keypoint is not None and len(gt):
+            from detectorch_tpu.train.sampler import keypoints_to_heatmap_labels
+
+            gt_rows = np.where(entry.gt_classes > 0)[0]
+            gt_kps = entry.gt_keypoints[gt_rows]          # (G, P, 3)
+            bins, vis = keypoints_to_heatmap_labels(
+                gt_kps, entry.boxes[gt_rows], cfg.keypoint.heatmap_size
+            )
+            kp_feats_all.append(_kp_trunk_feats(cfg, params, backbone, gt))
+            kp_bins_all.append(bins)
+            kp_vis_all.append(vis)
 
     feats = np.vstack(feats_all)
     labels = np.concatenate(labels_all)
@@ -408,12 +488,21 @@ def make_probe_weights(family: str, dataset: CocoDataset, cache_root: str = HARN
     params["bbox_pred_w"] = bbox_w
     params["bbox_pred_b"] = bbox_b
 
-    mfeats = np.vstack(mask_feats_all)
-    mtgts = np.stack(mask_tgt_all)
-    mcls = np.asarray(mask_cls_all)
-    mw, mb = _train_mask_probe(mfeats, mtgts, mcls, params)
-    params["mask_fcn_logits_w"] = mw
-    params["mask_fcn_logits_b"] = mb
+    if cfg.use_mask:
+        mfeats = np.vstack(mask_feats_all)
+        mtgts = np.stack(mask_tgt_all)
+        mcls = np.asarray(mask_cls_all)
+        mw, mb = _train_mask_probe(mfeats, mtgts, mcls, params)
+        params["mask_fcn_logits_w"] = mw
+        params["mask_fcn_logits_b"] = mb
+
+    if cfg.keypoint is not None:
+        kw, kb = _train_kp_probe(
+            np.vstack(kp_feats_all), np.vstack(kp_bins_all),
+            np.vstack(kp_vis_all), params,
+        )
+        params["kps_score_lowres_w"] = kw
+        params["kps_score_lowres_b"] = kb
 
     with open(cache, "wb") as f:
         pickle.dump(params, f)
@@ -505,9 +594,25 @@ def _train_mask_probe(mfeats, mtgts, mcls, params, steps=250):
 # mirror full-pipeline evaluation
 # ---------------------------------------------------------------------------
 
+def _mirror_decode_keypoints(heat, boxes):
+    """numpy twin of ops/keypoints.heatmaps_to_keypoints: heat (K, P, H, W)
+    logits, boxes (K, 4) original-image xyxy -> (K, P, 2) [x, y] at the
+    argmax bin center."""
+    k, p, h, w = heat.shape
+    flat = heat.reshape(k, p, h * w)
+    idx = flat.argmax(axis=2)
+    x_int = (idx % w).astype(np.float64)
+    y_int = (idx // w).astype(np.float64)
+    widths = np.maximum(boxes[:, 2] - boxes[:, 0], 1.0)
+    heights = np.maximum(boxes[:, 3] - boxes[:, 1], 1.0)
+    x = boxes[:, None, 0] + (x_int + 0.5) * widths[:, None] / w
+    y = boxes[:, None, 1] + (y_int + 0.5) * heights[:, None] / h
+    return np.stack([x, y], axis=-1)
+
+
 def mirror_run_image(cfg, tcfg, params, entry, dataset):
     """One image through the complete reference-mirror pipeline. Returns
-    (bbox COCO dicts, segm COCO dicts)."""
+    (bbox COCO dicts, segm COCO dicts, keypoint COCO dicts)."""
     im = T.load_image_rgb(entry.file_path)
     image, scale, (oh, ow) = T.preprocess_image(
         im, tcfg.target_size, tcfg.max_size,
@@ -603,16 +708,45 @@ def mirror_run_image(cfg, tcfg, params, entry, dataset):
                         "segmentation": rle,
                         "score": float(row[4]),
                     })
-    return bbox_out, segm_out
+
+    kps_out = []
+    if cfg.keypoint is not None:
+        im_results = np.vstack([cls_boxes[j] for j in range(1, cfg.num_classes)])
+        boxes_final = im_results[:, :4]
+        if len(boxes_final):
+            kp_rois = boxes_final * scale
+            kfeats = TM.fpn_mirror_roi_align(
+                backbone, kp_rois, cfg.keypoint.roi_size,
+                cfg.roi_sampling_ratio,
+            )
+            heat = TM.keypoint_logits(params, kfeats, cfg.keypoint.num_convs)
+            xy = _mirror_decode_keypoints(heat, boxes_final)  # (K, P, 2)
+            k = 0
+            for j in range(1, cfg.num_classes):
+                for row in cls_boxes[j]:
+                    xyv = np.concatenate(
+                        [xy[k], np.ones((xy.shape[1], 1))], axis=1
+                    )
+                    kps_out.append({
+                        "image_id": int(entry.image_id),
+                        "category_id": int(dataset.contiguous_to_json[j]),
+                        "keypoints": [float(v) for v in xyv.reshape(-1)],
+                        "score": float(row[4]),
+                    })
+                    k += 1
+    return bbox_out, segm_out, kps_out
 
 
 def mirror_evaluate(cfg, tcfg, params, dataset, roidb):
-    """Dataset loop + COCOeval, mirror side. Returns (bbox stats, segm stats)."""
-    bbox_all, segm_all = [], []
+    """Dataset loop + COCOeval, mirror side. Returns (bbox stats,
+    segm stats, keypoints stats) — the latter two None unless the preset
+    carries that branch."""
+    bbox_all, segm_all, kps_all = [], [], []
     for entry in roidb:
-        b, s = mirror_run_image(cfg, tcfg, params, entry, dataset)
+        b, s, k = mirror_run_image(cfg, tcfg, params, entry, dataset)
         bbox_all.extend(b)
         segm_all.extend(s)
+        kps_all.extend(k)
 
     def _eval(results, iou_type):
         if not results:
@@ -623,6 +757,8 @@ def mirror_evaluate(cfg, tcfg, params, dataset, roidb):
         ev.accumulate()
         return ev.summarize(verbose=False)
 
-    return _eval(bbox_all, "bbox"), (
-        _eval(segm_all, "segm") if cfg.use_mask else None
+    return (
+        _eval(bbox_all, "bbox"),
+        _eval(segm_all, "segm") if cfg.use_mask else None,
+        _eval(kps_all, "keypoints") if cfg.keypoint is not None else None,
     )

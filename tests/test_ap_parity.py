@@ -64,10 +64,14 @@ def run_preset_parity(preset, dataset, proposals_file, shapes="harness",
     ours_bbox, ours_segm, results = evaluate_dataset(
         cfg, tcfg, params, dataset, roidb=roidb, verbose=False
     )
-    mir_bbox, mir_segm = mirror_evaluate(cfg, tcfg, params, dataset, roidb)
+    mir_bbox, mir_segm, mir_kps = mirror_evaluate(
+        cfg, tcfg, params, dataset, roidb
+    )
     return {
         "ours_bbox": ours_bbox, "mirror_bbox": mir_bbox,
         "ours_segm": ours_segm, "mirror_segm": mir_segm,
+        "ours_kps": (results or {}).get("keypoints_stats"),
+        "mirror_kps": mir_kps,
         "n_dets": len(results["bbox"]),
     }
 
@@ -81,6 +85,12 @@ def check(r):
     if r["ours_segm"] is not None:
         d_segm = float(np.max(np.abs(r["ours_segm"] - r["mirror_segm"])))
         assert d_segm < AP_TOL, (r["ours_segm"], r["mirror_segm"])
+    if r.get("ours_kps") is not None:
+        assert r["mirror_kps"] is not None
+        ok = np.asarray(r["ours_kps"], np.float64)
+        mk = np.asarray(r["mirror_kps"], np.float64)
+        d_kps = float(np.max(np.abs(ok - mk)))
+        assert d_kps < AP_TOL, (ok, mk)
     return d_bbox
 
 
@@ -90,6 +100,22 @@ def check(r):
 def test_ap_parity(preset, synth):
     dataset, proposals_file = synth
     r = run_preset_parity(preset, dataset, proposals_file)
+    check(r)
+
+
+def test_ap_parity_keypoints():
+    """Keypoint R-CNN preset row: the full pipeline INCLUDING the KRCNN
+    branch (14x14 RoIAlign on final detections -> 8-conv trunk -> deconv ->
+    fixed bilinear 2x -> argmax decode -> OKS COCOeval) must produce the
+    same 12-stat bbox AND 10-stat OKS vectors as the torch+numpy mirror on
+    the person-keypoints synthetic set."""
+    from tests.ap_harness import prepare_keypoint_dataset
+
+    dataset = prepare_keypoint_dataset()
+    r = run_preset_parity("e2e_keypoint_rcnn_R-50-FPN_1x", dataset, None)
+    assert r["ours_kps"] is not None, "keypoint stats missing from results"
+    ok = np.asarray(r["ours_kps"], np.float64)
+    assert ok[0] > 0.05, f"degenerate keypoint AP {ok[0]}"
     check(r)
 
 
@@ -107,7 +133,7 @@ def test_ap_parity_device_preprocess(synth):
     ours_bbox, _, _ = evaluate_dataset(
         cfg, tcfg, params, dataset, roidb=roidb, verbose=False
     )
-    mir_bbox, _ = mirror_evaluate(cfg, tcfg, params, dataset, roidb)
+    mir_bbox, _, _ = mirror_evaluate(cfg, tcfg, params, dataset, roidb)
     assert ours_bbox[0] > 0.05
     d = float(np.max(np.abs(ours_bbox - mir_bbox)))
     assert d < AP_TOL, (ours_bbox, mir_bbox)

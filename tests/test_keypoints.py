@@ -388,3 +388,27 @@ def test_keypoint_train_step(tmp_path):
     assert not np.allclose(
         np.asarray(state.params["kps_score_lowres_w"]), init_kp_w
     )
+
+
+def test_keypoint_head_torch_mirror():
+    """Value-level mirror: our XLA KRCNN head (conv trunk + native deconv
+    + fixed-bilinear transposed conv) vs an independent torch transcription
+    (tests/torch_mirror.keypoint_logits) on the same weights/inputs."""
+    from tests import torch_mirror as TM
+
+    rng = np.random.RandomState(3)
+    params = heads_mod.init_keypoint_head_params(
+        num_keypoints=17, num_convs=8, conv_dim=512, in_ch=256
+    )
+    feats = (rng.randn(3, 14, 14, 256) * 2).astype(np.float32)
+    ours = np.asarray(
+        heads_mod.keypoint_head(
+            {k: jnp.asarray(v) for k, v in params.items()},
+            jnp.asarray(feats), 8,
+        )
+    )
+    mir = TM.keypoint_logits(params, feats.transpose(0, 3, 1, 2), 8)
+    mir = mir.transpose(0, 2, 3, 1)
+    assert ours.shape == mir.shape == (3, 56, 56, 17)
+    scale = np.abs(mir).max()
+    assert np.abs(ours - mir).max() < 2e-2 * scale

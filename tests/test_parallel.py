@@ -74,3 +74,58 @@ def test_model_axis_fc_sharding(rng):
         np.full(b, 64.0, np.float32), np.full(b, 64.0, np.float32),
     )
     assert np.isfinite(np.asarray(out.detections.scores)).all()
+
+
+def test_keypoint_train_step_sharded_equals_single(rng):
+    """The keypoint-preset train step (box + KRCNN branches) sharded over
+    the 8-device data axis must produce the same loss/metrics as the
+    single-device run — XLA's inserted gradient all-reduce is the only
+    difference (reduction-order float noise only)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from detectorch_tpu.config import SolverConfig
+    from detectorch_tpu.train.train_step import make_train_step
+
+    cfg = PRESETS["e2e_keypoint_rcnn_R-50-FPN_1x"].replace(
+        compute_dtype="float32", use_pallas_roi_align=False,
+    )
+    solver = SolverConfig(base_lr=1e-4, warmup_iters=0, weight_decay=0.0)
+    params = init_params(cfg, seed=0)
+
+    b, r, rk, p = 8, 16, 4, cfg.keypoint.num_keypoints
+    k = cfg.num_classes
+    rois = np.stack([
+        np.stack([
+            np.full(r, 4.0), np.full(r, 4.0),
+            rng.uniform(16, 80, r), rng.uniform(16, 60, r),
+        ], axis=1)
+        for _ in range(b)
+    ]).astype(np.float32)
+    batch = {
+        "image": (rng.randn(b, 96, 128, 3) * 10).astype(np.float32),
+        "rois": rois,
+        "labels": rng.randint(0, k, (b, r)).astype(np.int32),
+        "bbox_targets": np.zeros((b, r, 4 * k), np.float32),
+        "bbox_inside_weights": np.zeros((b, r, 4 * k), np.float32),
+        "bbox_outside_weights": np.zeros((b, r, 4 * k), np.float32),
+        "valid": np.ones((b, r), bool),
+        "kp_labels": rng.randint(0, 56 * 56, (b, rk, p)).astype(np.int32),
+        "kp_valid": np.ones((b, rk, p), bool),
+    }
+
+    def run(mesh, batch_np):
+        init_state, make_step = make_train_step(cfg, solver)
+        state, tx = init_state(params)
+        state = state._replace(params=M.shard_params(state.params, mesh))
+        step = jax.jit(make_step(tx))
+        data = NamedSharding(mesh, P("data"))
+        dev_batch = {kk: jax.device_put(v, data) for kk, v in batch_np.items()}
+        _, metrics = step(state, dev_batch)
+        return {kk: float(v) for kk, v in metrics.items()}
+
+    m_shard = run(M.make_mesh(), batch)
+    m_single = run(M.make_mesh(devices=jax.devices()[:1]), batch)
+    assert np.isfinite(m_shard["loss_kps"])
+    for key in ("loss", "loss_cls", "loss_bbox", "loss_kps"):
+        np.testing.assert_allclose(m_shard[key], m_single[key],
+                                   rtol=2e-4, atol=1e-6)

@@ -160,6 +160,34 @@ def mask_probs_c4(params, roi_feats_nchw, arch="resnet50"):
     return torch.sigmoid(logits).detach().numpy()
 
 
+def keypoint_trunk(params, roi_feats_nchw, num_convs=8):
+    """KRCNN conv trunk mirror (upstream Detectron add_roi_pose_head_v1convX;
+    see detectorch_tpu/models/heads.py:keypoint_head): num_convs x
+    (3x3 conv 512 + relu). Returns torch (K, 512, 14, 14)."""
+    x = torch.from_numpy(roi_feats_nchw).float()
+    for i in range(1, num_convs + 1):
+        w = t(params[f"conv_fcn{i}_w"]).permute(3, 2, 0, 1)
+        x = F.relu(F.conv2d(x, w, bias=t(params[f"conv_fcn{i}_b"]), padding=1))
+    return x
+
+
+def keypoint_logits(params, roi_feats_nchw, num_convs=8):
+    """Full KRCNN head mirror: trunk -> 4x4/2/p1 deconv (kps_score_lowres)
+    -> FIXED bilinear 2x as a depthwise transposed conv k4/s2/p1 with the
+    (0.25, 0.75, 0.75, 0.25) filler — NOT F.interpolate, whose border
+    clamping differs from the conv form at the 1-px edge.
+    Returns (K, P, 56, 56) numpy fp32 heatmap logits."""
+    x = keypoint_trunk(params, roi_feats_nchw, num_convs)
+    w = t(params["kps_score_lowres_w"])  # (512, P, 4, 4) ConvTranspose layout
+    x = F.conv_transpose2d(x, w, t(params["kps_score_lowres_b"]),
+                           stride=2, padding=1)
+    p = x.shape[1]
+    f = torch.tensor([0.25, 0.75, 0.75, 0.25], dtype=x.dtype)
+    kb = torch.outer(f, f)[None, None].repeat(p, 1, 1, 1)
+    x = F.conv_transpose2d(x, kb, stride=2, padding=1, groups=p)
+    return x.detach().numpy()
+
+
 def np_map_levels(rois, k_min=2, k_max=5):
     w = rois[:, 2] - rois[:, 0] + 1
     h = rois[:, 3] - rois[:, 1] + 1

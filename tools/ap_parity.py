@@ -42,16 +42,23 @@ def main():
     jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
-    from tests.ap_harness import prepare_dataset
+    from tests.ap_harness import prepare_dataset, prepare_keypoint_dataset
     from tests.test_ap_parity import ALL_PRESETS, run_preset_parity
 
     dataset, proposals_file = prepare_dataset()
-    presets = args.presets.split(",") if args.presets else ALL_PRESETS
+    presets = args.presets.split(",") if args.presets else (
+        ALL_PRESETS + ["e2e_keypoint_rcnn_R-50-FPN_1x"]
+    )
     rows = []
     for preset in presets:
         t0 = time.time()
-        r = run_preset_parity(preset, dataset, proposals_file,
-                              shapes=args.shapes, limit=args.limit)
+        if "keypoint" in preset:
+            # the keypoint row runs on the person-keypoints synthetic set
+            r = run_preset_parity(preset, prepare_keypoint_dataset(), None,
+                                  shapes=args.shapes, limit=args.limit)
+        else:
+            r = run_preset_parity(preset, dataset, proposals_file,
+                                  shapes=args.shapes, limit=args.limit)
         row = {
             "preset": preset,
             "shapes": args.shapes,
@@ -66,6 +73,12 @@ def main():
             row["segm_max_delta"] = float(
                 np.max(np.abs(r["ours_segm"] - r["mirror_segm"]))
             )
+        if r.get("ours_kps") is not None:
+            ok = np.asarray(r["ours_kps"], np.float64)
+            mk = np.asarray(r["mirror_kps"], np.float64)
+            row["kps_ap_ours"] = float(ok[0])
+            row["kps_ap_mirror"] = float(mk[0])
+            row["kps_max_delta"] = float(np.max(np.abs(ok - mk)))
         rows.append(row)
         print(json.dumps(row), flush=True)
 
@@ -82,16 +95,21 @@ def main():
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
 
-    print("\n| preset | box AP (ours/mirror) | segm AP | max |Δ| |")
-    print("|---|---|---|---|")
+    print("\n| preset | box AP (ours/mirror) | segm AP | kps AP | max |Δ| |")
+    print("|---|---|---|---|---|")
     for r in rows:
         segm = (
             f"{r['segm_ap_ours']:.4f} / {r['segm_ap_mirror']:.4f}"
             if "segm_ap_ours" in r else "—"
         )
-        d = max(r["bbox_max_delta"], r.get("segm_max_delta", 0.0))
+        kps = (
+            f"{r['kps_ap_ours']:.4f} / {r['kps_ap_mirror']:.4f}"
+            if "kps_ap_ours" in r else "—"
+        )
+        d = max(r["bbox_max_delta"], r.get("segm_max_delta", 0.0),
+                r.get("kps_max_delta", 0.0))
         print(f"| {r['preset']} | {r['bbox_ap_ours']:.4f} / "
-              f"{r['bbox_ap_mirror']:.4f} | {segm} | {d:.1e} |")
+              f"{r['bbox_ap_mirror']:.4f} | {segm} | {kps} | {d:.1e} |")
 
 
 if __name__ == "__main__":
