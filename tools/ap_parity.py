@@ -83,9 +83,10 @@ def main():
         print(json.dumps(row), flush=True)
 
     out = {"rows": rows, "stats_compared": 12, "tolerance_gate": 2e-4}
-    if os.path.exists(args.out) and args.presets:
-        # partial run: merge into the existing record, replacing rows for
-        # the same (preset, shapes) pair
+    if os.path.exists(args.out):
+        # merge into the existing record, replacing rows for the same
+        # (preset, shapes) pair — rows from OTHER shapes (e.g. the
+        # CPU-expensive production runs) are always preserved
         with open(args.out) as f:
             old = json.load(f)
         keep = [r for r in old.get("rows", [])
