@@ -332,11 +332,12 @@ def flip_keypoints(kps: np.ndarray, flip_perm: np.ndarray,
                    width: int) -> np.ndarray:
     """Horizontal flip of (G, P, 3) gt keypoints: left/right pairs swap via
     `flip_perm` (CocoDataset.keypoint_flip_perm), visible x mirror to
-    width - x - 1, unlabeled (v == 0) rows stay zero (upstream Detectron
-    keypoint_utils.flip_keypoints semantics)."""
+    width - x - 1, unlabeled (v == 0) keypoints zeroed (upstream Detectron
+    keypoint_utils.flip_keypoints semantics — a stale nonzero x on an
+    unlabeled keypoint must not survive the flip)."""
     out = kps[:, flip_perm].copy()
     vis = out[:, :, 2] > 0
-    out[:, :, 0] = np.where(vis, width - out[:, :, 0] - 1, out[:, :, 0])
+    out[:, :, 0] = np.where(vis, width - out[:, :, 0] - 1, 0.0)
     return out
 
 
@@ -345,7 +346,17 @@ def extend_with_flipped_entries(
     keypoint_flip_perm: Optional[np.ndarray] = None,
 ) -> List[RoidbEntry]:
     """reference roidb.py:103-135. Pass the dataset's keypoint_flip_perm
-    for keypoint datasets so flipped entries swap left/right keypoints."""
+    for keypoint datasets so flipped entries swap left/right keypoints;
+    a keypoint roidb WITHOUT a perm is refused rather than silently
+    producing unmirrored keypoints on flipped entries."""
+    if keypoint_flip_perm is None and any(
+        e.gt_keypoints is not None for e in roidb
+    ):
+        raise ValueError(
+            "roidb carries gt_keypoints: pass keypoint_flip_perm "
+            "(CocoDataset.keypoint_flip_perm) so flipped entries mirror "
+            "them — flipping boxes but not keypoints corrupts training"
+        )
     flipped = []
     for e in roidb:
         boxes = e.boxes.copy()

@@ -40,18 +40,23 @@ def keypoints_to_heatmap_labels(kps: np.ndarray, rois: np.ndarray,
     rois (R, 4) xyxy in the SAME coordinate frame (scale cancels in the
     roi-relative mapping). Returns (labels (R, P) int32 flat bin index
     y*S + x, valid (R, P) bool): floor of the roi-relative position scaled
-    to S bins, the exact-right-edge bin clamped to S-1, valid where the
-    keypoint is labeled (v > 0) and lands inside the roi."""
+    to S bins; ONLY a keypoint exactly on the right/bottom roi edge is
+    clamped into the last bin (upstream's x_boundary_inds) — anything
+    strictly outside the roi is invalid, as is any unlabeled (v == 0)
+    keypoint."""
     rois = np.asarray(rois, np.float64)
     kps = np.asarray(kps, np.float64)
     offset_x = rois[:, 0:1]
     offset_y = rois[:, 1:2]
     scale_x = heatmap_size / np.maximum(rois[:, 2:3] - rois[:, 0:1], 1e-6)
     scale_y = heatmap_size / np.maximum(rois[:, 3:4] - rois[:, 1:2], 1e-6)
+    # exact-edge coordinates, detected BEFORE binning (upstream clamps only
+    # kp == roi edge into the last bin; a coordinate merely landing in the
+    # would-be bin S stays out-of-roi and invalid)
+    x_edge = kps[:, :, 0] == rois[:, 2:3]
+    y_edge = kps[:, :, 1] == rois[:, 3:4]
     x = np.floor((kps[:, :, 0] - offset_x) * scale_x)
     y = np.floor((kps[:, :, 1] - offset_y) * scale_y)
-    x_edge = x == heatmap_size
-    y_edge = y == heatmap_size
     x = np.where(x_edge, heatmap_size - 1, x)
     y = np.where(y_edge, heatmap_size - 1, y)
     valid_loc = (x >= 0) & (y >= 0) & (x < heatmap_size) & (y < heatmap_size)

@@ -87,10 +87,9 @@ def box_branch_loss(params, cfg: ModelConfig, image, rois, labels,
         kcfg = cfg.keypoint
         krois = rois[: kp_labels.shape[0]]
         if cfg.use_fpn:
-            klevels = map_rois_to_fpn_levels(
-                krois, cfg.fpn.roi_min_level, cfg.fpn.roi_max_level,
-                cfg.fpn.roi_canonical_scale, cfg.fpn.roi_canonical_level,
-            ) - cfg.fpn.roi_min_level
+            # same level routing as the box branch: slice its levels so the
+            # two branches are provably identical per roi
+            klevels = levels[: kp_labels.shape[0]]
             kp_feats = multilevel_roi_align(
                 [p[0] for p in pyramid], krois, klevels,
                 cfg.fpn_spatial_scales, kcfg.roi_size, kcfg.roi_size,

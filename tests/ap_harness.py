@@ -371,6 +371,7 @@ def make_probe_weights(family: str, dataset: CocoDataset, cache_root: str = HARN
     production scale (the backbone features they were fit to shift with
     input resolution), measured AP ~0."""
     suffix = "_v3" if shapes == "harness" else f"_{shapes}_v3"
+    os.makedirs(cache_root, exist_ok=True)
     cache = os.path.join(cache_root, f"weights_{family}{suffix}.pkl")
     if os.path.exists(cache):
         with open(cache, "rb") as f:

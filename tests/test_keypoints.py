@@ -112,14 +112,16 @@ def test_heatmap_labels_semantics():
     rois = np.array([[10.0, 20.0, 66.0, 76.0]])  # 56x56 roi: 1 px per bin
     kps = np.array([[
         [10.0, 20.0, 2],   # top-left corner -> bin (0, 0)
-        [66.0, 76.0, 2],   # exact right/bottom edge -> clamped to (55, 55)
+        [66.0, 76.0, 2],   # EXACT right/bottom edge -> clamped to (55, 55)
         [38.2, 47.9, 2],   # interior: floor(28.2), floor(27.9)
         [38.2, 47.9, 0],   # same point, unlabeled -> invalid
         [5.0, 47.9, 1],    # left of roi -> invalid
+        [66.5, 47.9, 2],   # STRICTLY beyond the right edge -> invalid
+                           # (upstream clamps only kp_x == roi_x2)
     ]])
     labels, valid = keypoints_to_heatmap_labels(kps, rois, 56)
-    assert labels.shape == (1, 5) and valid.shape == (1, 5)
-    assert valid[0].tolist() == [True, True, True, False, False]
+    assert labels.shape == (1, 6) and valid.shape == (1, 6)
+    assert valid[0].tolist() == [True, True, True, False, False, False]
     assert labels[0, 0] == 0
     assert labels[0, 1] == 55 * 56 + 55
     assert labels[0, 2] == 27 * 56 + 28
@@ -412,3 +414,30 @@ def test_keypoint_head_torch_mirror():
     assert ours.shape == mir.shape == (3, 56, 56, 17)
     scale = np.abs(mir).max()
     assert np.abs(ours - mir).max() < 2e-2 * scale
+
+
+def test_flipped_roidb_requires_perm(tmp_path):
+    """extend_with_flipped_entries refuses a keypoint roidb without the
+    flip permutation instead of silently leaving keypoints unmirrored."""
+    from detectorch_tpu.data.coco import CocoDataset, extend_with_flipped_entries
+    from detectorch_tpu.data.synth import build_synth_coco
+
+    ann_file, img_dir = build_synth_coco(
+        str(tmp_path), n_images=1, height=96, width=128, seed=3,
+        with_keypoints=True,
+    )
+    roidb = CocoDataset(ann_file, img_dir).get_roidb(gt=True)
+    with pytest.raises(ValueError, match="keypoint_flip_perm"):
+        extend_with_flipped_entries(roidb)
+
+
+def test_flip_zeroes_unlabeled_keypoints():
+    """A stale nonzero x on an unlabeled (v==0) keypoint must not survive
+    the flip (upstream keypoint_utils.flip_keypoints zeroes it)."""
+    from detectorch_tpu.data.coco import flip_keypoints
+
+    perm = np.array([0, 1])
+    kps = np.array([[[30.0, 7.0, 0], [12.0, 5.0, 2]]])
+    f = flip_keypoints(kps, perm, 100)
+    np.testing.assert_allclose(f[0, 0], [0.0, 7.0, 0])
+    np.testing.assert_allclose(f[0, 1], [87.0, 5.0, 2])

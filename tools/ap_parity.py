@@ -82,7 +82,9 @@ def main():
         rows.append(row)
         print(json.dumps(row), flush=True)
 
-    out = {"rows": rows, "stats_compared": 12, "tolerance_gate": 2e-4}
+    out = {"rows": rows,
+           "stats_compared": {"bbox": 12, "segm": 12, "keypoints": 10},
+           "tolerance_gate": 2e-4}
     if os.path.exists(args.out):
         # merge into the existing record, replacing rows for the same
         # (preset, shapes) pair — rows from OTHER shapes (e.g. the

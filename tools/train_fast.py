@@ -56,7 +56,12 @@ def parse_args():
                    help="train the Keypoint R-CNN preset (box branch + "
                         "KRCNN keypoint head) from a person-keypoints "
                         "dataset; --fpn is implied")
-    return p.parse_args()
+    args = p.parse_args()
+    if not args.keypoints and not args.proposals:
+        # Fast R-CNN needs hard negatives from precomputed proposals;
+        # gt-only training is a keypoint-mode choice, not a silent default
+        p.error("--proposals is required unless --keypoints is given")
+    return args
 
 
 def main():
@@ -180,8 +185,13 @@ def main():
                 meta = np.asarray(
                     [m["raw_h"], m["raw_w"], m["rsz_h"], m["rsz_w"],
                      m["scale"], m["orig_h"], m["orig_w"]], np.float32)
-                blobs = sample_rois(e, m["scale"], rng, sampler_cfg,
-                                    cfg.num_classes, compact_targets=True)
+                blobs = sample_rois(
+                    e, m["scale"], rng, sampler_cfg, cfg.num_classes,
+                    compact_targets=True,
+                    keypoint_heatmap_size=(
+                        cfg.keypoint.heatmap_size if cfg.keypoint else 56
+                    ),
+                )
                 batch["raw"].append(rawp)
                 batch["tables"].append(tables)
                 batch["meta"].append(meta)
@@ -210,7 +220,12 @@ def main():
                 im, test_cfg.target_size, test_cfg.max_size,
                 buckets=(blob_hw,),
             )
-            blobs = sample_rois(e, scale, rng, sampler_cfg, cfg.num_classes)
+            blobs = sample_rois(
+                e, scale, rng, sampler_cfg, cfg.num_classes,
+                keypoint_heatmap_size=(
+                    cfg.keypoint.heatmap_size if cfg.keypoint else 56
+                ),
+            )
             batch["image"].append(image)
             for k in keys[1:]:
                 batch[k].append(blobs[k if k != "valid" else "valid"])
