@@ -25,11 +25,14 @@ from detectorch_tpu.eval.coco_eval import COCO
 
 
 def _np_bbox_overlaps(boxes, query):
-    """+1-convention IoU (reference cython_bbox semantics) in numpy."""
+    """+1-convention IoU (reference cython_bbox semantics) in numpy.
+    Computed in float64 exactly like the Cython kernel (cython_bbox.pyx
+    DTYPE = np.float); callers that store the result into float32 buffers
+    round at the same place the reference does."""
     if len(boxes) == 0 or len(query) == 0:
-        return np.zeros((len(boxes), len(query)), np.float32)
-    b = np.asarray(boxes, np.float32)
-    q = np.asarray(query, np.float32)
+        return np.zeros((len(boxes), len(query)), np.float64)
+    b = np.asarray(boxes, np.float64)
+    q = np.asarray(query, np.float64)
     area_q = (q[:, 2] - q[:, 0] + 1) * (q[:, 3] - q[:, 1] + 1)
     area_b = (b[:, 2] - b[:, 0] + 1) * (b[:, 3] - b[:, 1] + 1)
     iw = np.maximum(
@@ -188,8 +191,14 @@ class CocoDataset:
                 segms.append(segm)
                 if self.num_keypoints:
                     k = obj.get("keypoints")
+                    # the reference stores gt keypoints in an int32 array
+                    # (json_dataset.py:297-314 via the np.int32 gt_keypoints
+                    # buffer), truncating any fractional coordinate toward
+                    # zero; real COCO keypoints are integers so this only
+                    # bites synthetic data — match it exactly
                     kps.append(
-                        np.asarray(k, np.float32).reshape(-1, 3)
+                        np.asarray(k, np.float64).reshape(-1, 3)
+                        .astype(np.int32).astype(np.float32)
                         if k is not None
                         else np.zeros((self.num_keypoints, 3), np.float32)
                     )

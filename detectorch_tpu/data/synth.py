@@ -298,6 +298,12 @@ def write_proposals_pkl(
         b[:, [1, 3]] = np.clip(b[:, [1, 3]], 0, h - 1)
         boxes_list.append(b)
         ids.append(img["id"])
+    # the reference schema carries per-box objectness scores and its loader
+    # REQUIRES the field (_sort_proposals, json_dataset.py:438-444) even
+    # though nothing downstream reads it; descending dummy scores keep the
+    # file loadable by both pipelines
+    scores = [np.linspace(1.0, 0.5, len(b), dtype=np.float32)
+              for b in boxes_list]
     with open(out_path, "wb") as f:
-        pickle.dump({"boxes": boxes_list, "ids": ids}, f)
+        pickle.dump({"boxes": boxes_list, "ids": ids, "scores": scores}, f)
     return out_path

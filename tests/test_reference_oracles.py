@@ -136,6 +136,7 @@ def test_lr_schedule_matches_reference_solver(ref_solver):
 # under test below is the REFERENCE'S OWN executed code.
 # ---------------------------------------------------------------------------
 
+import copy
 import sys
 import types
 
@@ -160,6 +161,62 @@ def _np_bbox_overlaps(boxes, query_boxes):
     ua = ba[:, None] + qa[None, :] - inter
     ovr = np.where(inter > 0, inter / np.where(ua == 0, 1, ua), 0.0)
     return ovr
+
+
+def _pycoco_bb_iou(dt, gt, iscrowd):
+    """Transcription of maskApi bbIou (xywh boxes, NO +1 convention;
+    crowd gt uses the detection area as the union) — the pycocotools
+    `mask.iou` overload json_dataset._filter_crowd_proposals calls.
+    Independent of detectorch_tpu so the stub-backed reference run is
+    not circular with the implementation it tests."""
+    dt = np.asarray(dt, np.float64).reshape(-1, 4)
+    gt = np.asarray(gt, np.float64).reshape(-1, 4)
+    out = np.zeros((len(dt), len(gt)))
+    for j in range(len(gt)):
+        gx2, gy2 = gt[j, 0] + gt[j, 2], gt[j, 1] + gt[j, 3]
+        ga = gt[j, 2] * gt[j, 3]
+        for i in range(len(dt)):
+            w = min(dt[i, 0] + dt[i, 2], gx2) - max(dt[i, 0], gt[j, 0])
+            h = min(dt[i, 1] + dt[i, 3], gy2) - max(dt[i, 1], gt[j, 1])
+            if w <= 0 or h <= 0:
+                continue
+            inter = w * h
+            da = dt[i, 2] * dt[i, 3]
+            union = da if iscrowd[j] else da + ga - inter
+            out[i, j] = inter / union
+    return out
+
+
+class _PycocoCocoShim:
+    """The pycocotools.coco.COCO API subset json_dataset.py consumes
+    (getCatIds/loadCats/getImgIds/loadImgs/getAnnIds/loadAnns), backed by
+    OUR native COCO index (eval/coco_eval.py) — so the reference data
+    pipeline runs on the index implementation this framework ships."""
+
+    def __init__(self, annotation_file):
+        from detectorch_tpu.eval.coco_eval import COCO
+
+        self._c = COCO(annotation_file)
+
+    def getCatIds(self):
+        return list(self._c.get_cat_ids())
+
+    def loadCats(self, ids):
+        return [copy.deepcopy(self._c.cats[i]) for i in ids]
+
+    def getImgIds(self):
+        return list(self._c.get_img_ids())
+
+    def loadImgs(self, ids):
+        return [copy.deepcopy(self._c.imgs[i]) for i in ids]
+
+    def getAnnIds(self, imgIds=None, iscrowd=None):
+        assert iscrowd is None  # the only form json_dataset.py uses
+        ids = imgIds if isinstance(imgIds, (list, tuple)) else [imgIds]
+        return [a["id"] for i in ids for a in self._c.load_anns_for_image(i)]
+
+    def loadAnns(self, ids):
+        return [copy.deepcopy(self._c.anns[i]) for i in ids]
 
 
 @contextlib.contextmanager
@@ -211,10 +268,15 @@ def _ref_stub_modules():
     mask_stub = types.ModuleType("pycocotools.mask")
     mask_stub.encode = _mask_encode
     mask_stub.decode = lambda r: rle_mod.decode(r)
+    mask_stub.iou = _pycoco_bb_iou
+    coco_mod = types.ModuleType("pycocotools.coco")
+    coco_mod.COCO = _PycocoCocoShim
     coco_pkg = types.ModuleType("pycocotools")
     coco_pkg.mask = mask_stub
+    coco_pkg.coco = coco_mod
     reg("pycocotools", coco_pkg)
     reg("pycocotools.mask", mask_stub)
+    reg("pycocotools.coco", coco_mod)
 
     try:
         yield reg
@@ -636,3 +698,191 @@ def test_parse_th_to_caffe2_matches_our_blob_names(ref_utils_mod):
                     produced.add(ref_utils_mod.parse_th_to_caffe2(
                         [f"layer{stage}", str(b), "downsample", "1", p]))
     assert produced == set(skeleton.keys())
+
+
+# ---------------------------------------------------------------------------
+# Data layer: the reference's OWN json_dataset.py / roidb.py executed end to
+# end (previously blocked by pycocotools; now backed by our native COCO
+# index via _PycocoCocoShim) and compared entry-by-entry against
+# detectorch_tpu.data.coco on the same synthetic COCO set + proposal file.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_json_dataset(ref_boxes):
+    return _load_ref_stubbed(
+        "data/json_dataset.py", "json_dataset", _with_utils_pkg(ref_boxes)
+    )
+
+
+@pytest.fixture(scope="module")
+def ref_segms():
+    return _load_ref_stubbed("utils/segms.py", "segms")
+
+
+@pytest.fixture(scope="module")
+def ref_roidb_mod(ref_boxes, ref_segms, ref_json_dataset):
+    def extra(reg):
+        utils_pkg = types.ModuleType("utils")
+        utils_pkg.boxes = ref_boxes
+        utils_pkg.segms = ref_segms
+        reg("utils", utils_pkg)
+        reg("utils.boxes", ref_boxes)
+        reg("utils.segms", ref_segms)
+        data_pkg = types.ModuleType("data")
+        data_pkg.json_dataset = ref_json_dataset
+        reg("data", data_pkg)
+        reg("data.json_dataset", ref_json_dataset)
+
+    return _load_ref_stubbed("data/roidb.py", "roidb", extra)
+
+
+@pytest.fixture(scope="module")
+def data_oracle_set(tmp_path_factory):
+    """Small synthetic COCO set + proposal pickle shared by the data-layer
+    oracle tests (6 images, crowd every 8th annotation)."""
+    from detectorch_tpu.data.synth import build_synth_coco, write_proposals_pkl
+
+    root = str(tmp_path_factory.mktemp("ref_data_oracle"))
+    ann, imdir = build_synth_coco(root, n_images=6, height=160, width=224,
+                                  seed=11, max_objects=4)
+    prop = write_proposals_pkl(ann, f"{root}/props.pkl",
+                               per_image_random=20, jitters_per_gt=4, seed=2)
+    return ann, imdir, prop
+
+
+@pytest.fixture(scope="module")
+def kp_oracle_set(tmp_path_factory):
+    from detectorch_tpu.data.synth import build_synth_coco
+
+    root = str(tmp_path_factory.mktemp("ref_kp_oracle"))
+    return build_synth_coco(root, n_images=4, height=160, width=224,
+                            seed=13, max_objects=3, with_keypoints=True)
+
+
+def _entry_pairs(ref_roidb, our_roidb):
+    assert len(ref_roidb) == len(our_roidb)
+    return zip(ref_roidb, our_roidb)
+
+
+def _assert_entries_equal(r, o, check_targets=False):
+    assert r["height"] == o.height and r["width"] == o.width
+    np.testing.assert_array_equal(r["boxes"], o.boxes)
+    np.testing.assert_array_equal(r["gt_classes"], o.gt_classes)
+    np.testing.assert_array_equal(
+        np.asarray(r["is_crowd"], np.uint8), o.is_crowd
+    )
+    np.testing.assert_array_equal(r["box_to_gt_ind_map"], o.box_to_gt_ind_map)
+    np.testing.assert_array_equal(r["max_classes"], o.max_classes)
+    np.testing.assert_array_equal(r["max_overlaps"], o.max_overlaps)
+    assert len(r["segms"]) == len(o.segms)
+    for rs, os_ in zip(r["segms"], o.segms):
+        for rp, op in zip(rs, os_):
+            np.testing.assert_allclose(rp, op)
+    if check_targets:
+        np.testing.assert_array_equal(r["bbox_targets"], o.bbox_targets)
+
+
+def test_jsondataset_metadata_matches_reference(ref_json_dataset, data_oracle_set):
+    """Class list, category id maps and (absent) keypoint metadata of the
+    executed reference JsonDataset vs ours, on the same json."""
+    from detectorch_tpu.data.coco import CocoDataset
+
+    ann, imdir, _ = data_oracle_set
+    ref = ref_json_dataset.JsonDataset(ann, imdir)
+    ours = CocoDataset(ann, imdir)
+    assert ref.classes == ours.classes
+    assert ref.num_classes == ours.num_classes
+    assert ref.json_category_id_to_contiguous_id == ours.json_to_contiguous
+    assert ref.contiguous_category_id_to_json_id == ours.contiguous_to_json
+    assert ref.keypoints is None and ours.keypoints is None
+
+
+def test_get_roidb_gt_matches_reference(ref_json_dataset, data_oracle_set):
+    """gt roidb (sanitised boxes, classes, crowd flags, class assignments,
+    polygon segms) — reference pipeline executed vs ours, field by field."""
+    from detectorch_tpu.data.coco import CocoDataset
+
+    ann, imdir, _ = data_oracle_set
+    with _np_compat():
+        ref = ref_json_dataset.JsonDataset(ann, imdir).get_roidb(gt=True)
+    ours = CocoDataset(ann, imdir).get_roidb(gt=True)
+    n_boxes = 0
+    for r, o in _entry_pairs(ref, ours):
+        _assert_entries_equal(r, o)
+        n_boxes += len(o.boxes)
+    assert n_boxes > 0
+
+
+def test_get_roidb_proposals_matches_reference(ref_json_dataset, data_oracle_set):
+    """Proposal-file path: clip, dedup, min-size filter, overlap merge,
+    crowd filtering (through the executed pycocotools-iou semantics) and
+    final class assignments all equal."""
+    from detectorch_tpu.data.coco import CocoDataset
+
+    ann, imdir, prop = data_oracle_set
+    with _np_compat():
+        ref = ref_json_dataset.JsonDataset(ann, imdir).get_roidb(
+            gt=True, proposal_file=prop, crowd_filter_thresh=0.7
+        )
+    ours = CocoDataset(ann, imdir).get_roidb(
+        gt=True, proposal_file=prop, crowd_filter_thresh=0.7
+    )
+    some_proposals = some_filtered = False
+    for r, o in _entry_pairs(ref, ours):
+        _assert_entries_equal(r, o)
+        some_proposals |= (o.gt_classes == 0).any()
+        some_filtered |= (o.max_overlaps == -1).any()
+    assert some_proposals, "proposal file contributed no boxes"
+    assert some_filtered, "crowd filter never fired — weak fixture"
+
+
+def test_roidb_for_training_matches_reference(ref_roidb_mod, data_oracle_set):
+    """The full training-roidb pipeline — flips (boxes AND polygon segms via
+    the reference's executed segm_utils.flip_segms), validity filtering and
+    bbox regression targets — reference vs ours."""
+    from detectorch_tpu.data.coco import roidb_for_training
+
+    ann, imdir, prop = data_oracle_set
+    with _np_compat():
+        ref = ref_roidb_mod.roidb_for_training(
+            ann, imdir, (prop,), train_crowd_filter_thresh=0.7
+        )
+    _, ours = roidb_for_training(ann, imdir, proposal_file=prop,
+                                 crowd_filter_thresh=0.7)
+    assert len(ref) == len(ours)
+    n_flipped = 0
+    for r, o in _entry_pairs(ref, ours):
+        assert bool(r["flipped"]) == o.flipped
+        n_flipped += o.flipped
+        _assert_entries_equal(r, o, check_targets=True)
+    assert n_flipped > 0
+
+
+def test_keypoint_roidb_matches_reference(ref_json_dataset, kp_oracle_set):
+    """Keypoint dataset init (names, count, flip map) and per-gt keypoint
+    arrays — the reference stores (3, P) per object (json_dataset.py:297-314),
+    ours the (P, 3) transpose — plus has_visible_keypoints."""
+    from detectorch_tpu.data.coco import CocoDataset
+
+    ann, imdir = kp_oracle_set
+    ref_ds = ref_json_dataset.JsonDataset(ann, imdir)
+    ours_ds = CocoDataset(ann, imdir)
+    assert ref_ds.keypoints == ours_ds.keypoints
+    assert ref_ds.num_keypoints == ours_ds.num_keypoints == 17
+    assert ref_ds.keypoint_flip_map == ours_ds.keypoint_flip_map
+    with _np_compat():
+        ref = ref_ds.get_roidb(gt=True)
+    ours = ours_ds.get_roidb(gt=True)
+    saw_visible = False
+    for r, o in _entry_pairs(ref, ours):
+        np.testing.assert_array_equal(r["boxes"], o.boxes)
+        assert o.gt_keypoints is not None
+        np.testing.assert_array_equal(
+            r["gt_keypoints"].transpose(0, 2, 1).astype(np.float64),
+            o.gt_keypoints.astype(np.float64),
+        )
+        has_vis = (o.gt_keypoints[:, :, 2] > 0).any()
+        assert bool(r["has_visible_keypoints"]) == bool(has_vis)
+        saw_visible |= bool(has_vis)
+    assert saw_visible
