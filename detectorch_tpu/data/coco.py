@@ -66,6 +66,10 @@ class RoidbEntry:
     max_overlaps: np.ndarray   # (N,)
     max_classes: np.ndarray    # (N,)
     box_to_gt_ind_map: np.ndarray
+    # (N,) annotation ('seg') areas for gt boxes, 0 for proposals — the
+    # reference's entry['seg_areas'] (json_dataset.py:187/232), used by
+    # the proposal-recall evaluator's area binning
+    seg_areas: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float32))
     segms: List[object] = field(default_factory=list)
     flipped: bool = False
     bbox_targets: Optional[np.ndarray] = None  # (N, 5) [cls, tx, ty, tw, th]
@@ -172,7 +176,7 @@ class CocoDataset:
 
     def _add_gt(self, e: RoidbEntry):
         """reference json_dataset.py:149-235."""
-        boxes, classes, crowd, segms, kps = [], [], [], [], []
+        boxes, classes, crowd, segms, kps, areas = [], [], [], [], [], []
         for obj in self.coco.load_anns_for_image(e.image_id):
             segm = obj.get("segmentation")
             if isinstance(segm, list):
@@ -189,6 +193,7 @@ class CocoDataset:
                 classes.append(self.json_to_contiguous[obj["category_id"]])
                 crowd.append(obj.get("iscrowd", 0))
                 segms.append(segm)
+                areas.append(obj["area"])
                 if self.num_keypoints:
                     k = obj.get("keypoints")
                     # the reference stores gt keypoints in an int32 array
@@ -207,6 +212,7 @@ class CocoDataset:
         e.gt_classes = np.asarray(classes, np.int32)
         e.is_crowd = np.asarray(crowd, np.uint8)
         e.box_to_gt_ind_map = np.arange(n, dtype=np.int32)
+        e.seg_areas = np.asarray(areas, np.float32)
         e.segms = segms
         if self.num_keypoints:
             e.gt_keypoints = np.stack(kps) if kps else np.zeros(
@@ -270,6 +276,7 @@ class CocoDataset:
             b2g[pos] = gt_inds[argmaxes[pos]]
         e.boxes = np.vstack([e.boxes, boxes.astype(np.float32)])
         e.gt_classes = np.concatenate([e.gt_classes, np.zeros(num, np.int32)])
+        e.seg_areas = np.concatenate([e.seg_areas, np.zeros(num, np.float32)])
         e.is_crowd = np.concatenate([e.is_crowd, np.zeros(num, np.uint8)])
         e.box_to_gt_ind_map = np.concatenate([e.box_to_gt_ind_map, b2g])
         return np.vstack([gt_ov, new_ov])
@@ -383,6 +390,7 @@ def extend_with_flipped_entries(
             max_overlaps=e.max_overlaps,
             max_classes=e.max_classes,
             box_to_gt_ind_map=e.box_to_gt_ind_map,
+            seg_areas=e.seg_areas,
             segms=flip_segms(e.segms, e.height, e.width),
             flipped=True,
             gt_keypoints=(

@@ -128,35 +128,59 @@ def evaluate_box_proposals(
     thresholds=None,
     area: str = "all",
     limit: int = 1000,
+    gt_seg_areas_per_image=None,
 ):
-    """Proposal recall / AR evaluator (reference
-    json_dataset_evaluator.py:238-319 semantics).
+    """Proposal recall / AR evaluator — exact semantics of the reference's
+    json_dataset_evaluator.py:238-321 (executed as the oracle in
+    tests/test_reference_oracles.py):
+
+    - area binning uses the annotation ('seg') areas when
+      ``gt_seg_areas_per_image`` is given (the reference reads
+      entry['seg_areas']); falls back to +1-convention box areas
+    - bounds are inclusive on both ends (``lo <= a <= hi``)
+    - all eight Detectron area bins, including the 96-128 … 512-inf splits
+    - recall denominator is ``num_pos`` (every in-range gt, including those
+      in images that contributed no proposals)
 
     proposals_per_image: list of (N_i, 4) xyxy arrays (ranked);
     gt_boxes_per_image: list of (G_i, 4) xyxy non-crowd gt arrays.
-    Returns dict with 'ar', 'recalls', 'thresholds', 'num_pos'.
+    Returns dict with 'ar', 'recalls', 'thresholds', 'gt_overlaps',
+    'num_pos'.
     """
     areas = {
-        "all": (0.0, 1e5 ** 2),
-        "small": (0.0, 32 ** 2),
+        "all": (0.0 ** 2, 1e5 ** 2),
+        "small": (0.0 ** 2, 32 ** 2),
         "medium": (32 ** 2, 96 ** 2),
         "large": (96 ** 2, 1e5 ** 2),
+        "96-128": (96 ** 2, 128 ** 2),
+        "128-256": (128 ** 2, 256 ** 2),
+        "256-512": (256 ** 2, 512 ** 2),
+        "512-inf": (512 ** 2, 1e5 ** 2),
     }
     a_lo, a_hi = areas[area]
     if thresholds is None:
         thresholds = np.arange(0.5, 0.95 + 1e-5, 0.05)
+    if gt_seg_areas_per_image is None:
+        gt_seg_areas_per_image = [None] * len(gt_boxes_per_image)
     gt_overlaps = []
     num_pos = 0
-    for props, gts in zip(proposals_per_image, gt_boxes_per_image):
+    for props, gts, seg_areas in zip(
+        proposals_per_image, gt_boxes_per_image, gt_seg_areas_per_image
+    ):
         gts = np.asarray(gts, np.float64).reshape(-1, 4)
-        ar = (gts[:, 2] - gts[:, 0] + 1) * (gts[:, 3] - gts[:, 1] + 1)
-        keep = (ar >= a_lo) & (ar < a_hi)
+        if seg_areas is not None:
+            ar = np.asarray(seg_areas, np.float64).reshape(-1)
+        else:
+            ar = (gts[:, 2] - gts[:, 0] + 1) * (gts[:, 3] - gts[:, 1] + 1)
+        keep = (ar >= a_lo) & (ar <= a_hi)
         gts = gts[keep]
-        num_pos += len(gts)
-        props = np.asarray(props, np.float64).reshape(-1, 4)[:limit]
+        num_pos += int(keep.sum())
+        props = np.asarray(props, np.float64).reshape(-1, 4)
+        if limit is not None:
+            props = props[:limit]
         if len(gts) == 0 or len(props) == 0:
             continue
-        # +1-convention IoU matrix
+        # +1-convention IoU matrix (cython_bbox semantics, float64)
         pa = (props[:, 2] - props[:, 0] + 1) * (props[:, 3] - props[:, 1] + 1)
         ga = (gts[:, 2] - gts[:, 0] + 1) * (gts[:, 3] - gts[:, 1] + 1)
         iw = np.maximum(
@@ -190,8 +214,12 @@ def evaluate_box_proposals(
         np.concatenate(gt_overlaps) if gt_overlaps else np.zeros(0)
     )
     gt_overlaps = np.sort(gt_overlaps)
-    recalls = np.array([(gt_overlaps >= t).mean() if len(gt_overlaps) else 0.0
-                        for t in thresholds])
+    # reference :315-318 — denominator is num_pos, NOT len(gt_overlaps):
+    # gts in images with zero proposals count as misses
+    recalls = np.array([
+        float((gt_overlaps >= t).sum()) / num_pos if num_pos else 0.0
+        for t in thresholds
+    ])
     return {
         "ar": float(recalls.mean()),
         "recalls": recalls,

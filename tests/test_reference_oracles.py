@@ -886,3 +886,67 @@ def test_keypoint_roidb_matches_reference(ref_json_dataset, kp_oracle_set):
         assert bool(r["has_visible_keypoints"]) == bool(has_vis)
         saw_visible |= bool(has_vis)
     assert saw_visible
+
+
+@pytest.fixture(scope="module")
+def ref_jde(ref_boxes):
+    """The reference's json_dataset_evaluator.py, executed. Needs
+    utils.io.save_object (stubbed: unused by the function under test) and
+    pycocotools.cocoeval (inert placeholder, imported at module top only)."""
+
+    def extra(reg):
+        _with_utils_pkg(ref_boxes)(reg)
+        io_mod = types.ModuleType("utils.io")
+        io_mod.save_object = lambda obj, path: None
+        sys.modules["utils"].io = io_mod
+        reg("utils.io", io_mod)
+        ce = types.ModuleType("pycocotools.cocoeval")
+        ce.COCOeval = object
+        sys.modules["pycocotools"].cocoeval = ce
+        reg("pycocotools.cocoeval", ce)
+
+    return _load_ref_stubbed(
+        "utils/json_dataset_evaluator.py", "json_dataset_evaluator", extra
+    )
+
+
+@pytest.mark.parametrize("area,limit", [
+    ("all", None), ("all", 30), ("small", None), ("medium", None),
+    ("large", None), ("96-128", None),
+])
+def test_proposal_recall_matches_reference(ref_jde, ref_json_dataset,
+                                           data_oracle_set, area, limit):
+    """evaluate_box_proposals — the reference's own evaluator run on the
+    executed reference roidb vs ours on our roidb: identical recall curve,
+    AR, num_pos and sorted gt-overlap vector, across area bins and a
+    proposal limit (seg-area binning, inclusive bounds, num_pos
+    denominator — each of which an earlier draft of ours got wrong)."""
+    from detectorch_tpu.data.coco import CocoDataset
+    from detectorch_tpu.eval.coco_eval import evaluate_box_proposals
+
+    ann, imdir, prop = data_oracle_set
+    with _np_compat():
+        ref_roidb = ref_json_dataset.JsonDataset(ann, imdir).get_roidb(
+            gt=True, proposal_file=prop, crowd_filter_thresh=0.7
+        )
+        exp = ref_jde.evaluate_box_proposals(
+            None, ref_roidb, area=area, limit=limit
+        )
+
+    ours_roidb = CocoDataset(ann, imdir).get_roidb(
+        gt=True, proposal_file=prop, crowd_filter_thresh=0.7
+    )
+    props, gts, seg_areas = [], [], []
+    for e in ours_roidb:
+        gt_inds = np.where((e.gt_classes > 0) & (e.is_crowd == 0))[0]
+        non_gt = np.where(e.gt_classes == 0)[0]
+        props.append(e.boxes[non_gt])
+        gts.append(e.boxes[gt_inds])
+        seg_areas.append(e.seg_areas[gt_inds])
+    got = evaluate_box_proposals(
+        props, gts, area=area, limit=limit, gt_seg_areas_per_image=seg_areas
+    )
+    assert got["num_pos"] == exp["num_pos"]
+    np.testing.assert_array_equal(got["gt_overlaps"], exp["gt_overlaps"])
+    np.testing.assert_array_equal(got["recalls"], exp["recalls"])
+    np.testing.assert_allclose(got["ar"], exp["ar"], rtol=0, atol=0)
