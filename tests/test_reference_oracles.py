@@ -950,3 +950,141 @@ def test_proposal_recall_matches_reference(ref_jde, ref_json_dataset,
     np.testing.assert_array_equal(got["gt_overlaps"], exp["gt_overlaps"])
     np.testing.assert_array_equal(got["recalls"], exp["recalls"])
     np.testing.assert_allclose(got["ar"], exp["ar"], rtol=0, atol=0)
+
+
+# ---------------------------------------------------------------------------
+# preprocess_sample / colormap / dummy_datasets — the last importable
+# reference modules, executed
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_preproc_sample(ref_boxes):
+    """The reference's utils/preprocess_sample.py (the eval notebooks'
+    actual sample transform), executed with its real blob / sample-rois /
+    multilevel dependencies loaded."""
+    blob = _load_ref("blob")
+    sr = _load_ref_stubbed("utils/fast_rcnn_sample_rois.py", "ps_sample_rois")
+    ml = _load_ref_stubbed(
+        "utils/multilevel_rois.py", "ps_multilevel", _with_utils_pkg(ref_boxes)
+    )
+
+    def extra(reg):
+        utils_pkg = types.ModuleType("utils")
+        for nm, mod in [("blob", blob), ("fast_rcnn_sample_rois", sr),
+                        ("multilevel_rois", ml)]:
+            setattr(utils_pkg, nm, mod)
+            reg(f"utils.{nm}", mod)
+        reg("utils", utils_pkg)
+
+    return _load_ref_stubbed(
+        "utils/preprocess_sample.py", "preprocess_sample", extra
+    )
+
+
+def test_preprocess_sample_c4_matches_reference(ref_preproc_sample, rng):
+    """Fast R-CNN test-mode sample prep, C4: image blob, scale factors and
+    dedup'd scaled proposals vs the executed reference transform
+    (preprocess_sample.py:25-56, eval_fast.ipynb drive)."""
+    from detectorch_tpu.data.transforms import (
+        PIXEL_MEANS_RGB, dedup_proposals, preprocess_image,
+    )
+
+    im = rng.randint(0, 255, (427, 640, 3)).astype(np.float32)
+    boxes = _rand_boxes(rng, 60, 427, 640)
+    # force feature-roi aliasing so dedup actually removes rows
+    boxes = np.vstack([boxes, boxes[:10] + 0.2])
+    sample = {"image": im.copy(), "dbentry": {"boxes": boxes.copy()}}
+    ps = ref_preproc_sample.preprocess_sample()
+    with _np_compat():
+        out = ps(sample)
+
+    got_img, scale, (oh, ow) = preprocess_image(
+        im, pad_stride=1, buckets=None
+    )
+    assert scale == float(out["scaling_factors"])
+    np.testing.assert_array_equal(
+        np.asarray(out["original_im_size"]), [427, 640, 3]
+    )
+    ref_img = out["image"].numpy()  # (1, 3, H, W)
+    np.testing.assert_allclose(
+        got_img.transpose(2, 0, 1)[None], ref_img, atol=1e-4
+    )
+    got_rois, _ = dedup_proposals(boxes * scale, spatial_scale=0.0625)
+    ref_rois = out["rois"].numpy()
+    assert len(got_rois) < len(boxes)  # dedup really fired
+    np.testing.assert_allclose(got_rois, ref_rois, rtol=0, atol=0)
+
+
+def test_preprocess_sample_fpn_matches_reference(ref_preproc_sample, rng):
+    """Fast R-CNN test-mode sample prep, FPN: stride-32 blob padding plus the
+    per-level roi distribution keys (preprocess_sample.py:40-45,
+    eval_fast_FPN.ipynb drive) vs our preprocess + level routing."""
+    import jax.numpy as jnp
+
+    from detectorch_tpu.data.transforms import (
+        dedup_proposals, preprocess_image,
+    )
+    from detectorch_tpu.ops.fpn_levels import map_rois_to_fpn_levels
+
+    im = rng.randint(0, 255, (480, 603, 3)).astype(np.float32)
+    boxes = _rand_boxes(rng, 80, 480, 603)
+    sample = {"image": im.copy(), "dbentry": {"boxes": boxes.copy()}}
+    ps = ref_preproc_sample.preprocess_sample(target_sizes=[800], fpn_on=True)
+    with _np_compat():
+        out = ps(sample)
+
+    got_img, scale, _ = preprocess_image(im, pad_stride=32, buckets=None)
+    np.testing.assert_allclose(
+        got_img.transpose(2, 0, 1)[None], out["image"].numpy(), atol=1e-4
+    )
+    props, _ = dedup_proposals(boxes * scale, spatial_scale=0.0625)
+    levels = np.asarray(
+        map_rois_to_fpn_levels(jnp.asarray(props, jnp.float32), 2, 5, 224, 4)
+    )
+    order = []
+    for lvl in range(2, 6):
+        ref_lvl = out[f"rois_fpn{lvl}"].numpy()
+        sel = np.where(levels == lvl)[0]
+        np.testing.assert_allclose(props[sel], ref_lvl, rtol=0, atol=0)
+        order.append(sel)
+    restore = np.argsort(np.concatenate(order))
+    np.testing.assert_array_equal(
+        restore, out["rois_idx_restore_int32"].numpy().astype(np.int64)
+    )
+
+
+@pytest.fixture(scope="module")
+def ref_colormap():
+    return _load_ref("colormap")
+
+
+def test_colormap_matches_reference(ref_colormap):
+    from detectorch_tpu.utils.colormap import colormap
+
+    for rgb in (False, True):
+        with _np_compat():
+            exp = ref_colormap.colormap(rgb=rgb)
+        np.testing.assert_allclose(colormap(rgb=rgb), exp, rtol=0, atol=0)
+
+
+@pytest.fixture(scope="module")
+def ref_dummy_datasets():
+    def extra(reg):
+        coll = _load_ref_stubbed("utils/collections.py", "dd_collections")
+        utils_pkg = types.ModuleType("utils")
+        utils_pkg.collections = coll
+        reg("utils", utils_pkg)
+        reg("utils.collections", coll)
+
+    return _load_ref_stubbed("utils/dummy_datasets.py", "dummy_datasets", extra)
+
+
+def test_dummy_dataset_matches_reference(ref_dummy_datasets):
+    from detectorch_tpu.utils.dummy_datasets import get_coco_dataset
+
+    with _np_compat():
+        ref_ds = ref_dummy_datasets.get_coco_dataset()
+    ours = get_coco_dataset()
+    assert list(ref_ds.classes.values()) == list(ours.classes)
+    assert len(ref_ds.classes) == ours.num_classes == 81
