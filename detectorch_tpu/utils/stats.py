@@ -50,6 +50,9 @@ class TrainingStats:
         self.iter_timer = Timer()
         self.smoothed_losses = defaultdict(lambda: SmoothedValue(window_size))
         self.smoothed_metrics = defaultdict(lambda: SmoothedValue(window_size))
+        # the reference's headline 'loss' stat is the median of the PER-ITER
+        # SUM of losses, tracked in its own window (training_stats.py:80-83)
+        self.smoothed_total_loss = SmoothedValue(window_size)
         self.cur_iter = 0
 
     def iter_tic(self):
@@ -64,6 +67,9 @@ class TrainingStats:
             self.smoothed_losses[k].add_value(float(v))
         for k, v in metrics.items():
             self.smoothed_metrics[k].add_value(float(v))
+        self.smoothed_total_loss.add_value(
+            float(np.sum([float(v) for v in losses.values()]))
+        )
 
     def get_stats(self, cur_iter: int, lr: float) -> dict:
         eta_seconds = self.iter_timer.average_time * (self.max_iter - cur_iter)
@@ -72,6 +78,7 @@ class TrainingStats:
             "time": self.iter_timer.average_time,
             "eta": str(datetime.timedelta(seconds=int(eta_seconds))),
             "lr": float(lr),
+            "loss": self.smoothed_total_loss.get_median_value(),
         }
         for k, v in self.smoothed_losses.items():
             stats[k] = v.get_median_value()

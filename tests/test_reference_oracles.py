@@ -1088,3 +1088,58 @@ def test_dummy_dataset_matches_reference(ref_dummy_datasets):
     ours = get_coco_dataset()
     assert list(ref_ds.classes.values()) == list(ours.classes)
     assert len(ref_ds.classes) == ours.num_classes == 81
+
+
+@pytest.fixture(scope="module")
+def ref_training_stats():
+    """The reference's utils/training_stats.py executed with its real
+    logging/timer dependencies."""
+    logging_mod = _load_ref("logging")
+    timer_mod = _load_ref("timer")
+
+    def extra(reg):
+        utils_pkg = types.ModuleType("utils")
+        utils_pkg.logging = logging_mod
+        utils_pkg.timer = timer_mod
+        reg("utils", utils_pkg)
+        reg("utils.logging", logging_mod)
+        reg("utils.timer", timer_mod)
+
+    return _load_ref_stubbed(
+        "utils/training_stats.py", "training_stats", extra
+    )
+
+
+def test_training_stats_match_reference(ref_training_stats, rng):
+    """Median-window smoothing, total-loss tracking and ETA vs the executed
+    reference TrainingStats (training_stats.py:35-114, logging.py
+    SmoothedValue) over a 60-iteration seeded loss/metric stream."""
+    from detectorch_tpu.utils.stats import TrainingStats
+
+    losses = ["loss_cls", "loss_bbox"]
+    metrics = ["accuracy_cls"]
+    max_iter = 90
+    with _np_compat():
+        ref = ref_training_stats.TrainingStats(metrics, losses, max_iter)
+    ours = TrainingStats(max_iter)
+
+    stream = rng.rand(60, 3).astype(np.float64)
+    for i, (lc, lb, acc) in enumerate(stream):
+        ldict = {"loss_cls": float(lc), "loss_bbox": float(lb)}
+        mdict = {"accuracy_cls": float(acc)}
+        with _np_compat():
+            ref.UpdateIterStats(ldict, mdict)
+        ours.update_iter_stats(i, ldict, mdict)
+
+    # pin identical timer state so the ETA comparison is deterministic
+    ref.iter_timer.average_time = 0.37
+    ours.iter_timer.average_time = 0.37
+    with _np_compat():
+        exp = ref.GetStats(cur_iter=60, lr=0.0025)
+    got = ours.get_stats(cur_iter=60, lr=0.0025)
+
+    assert got["eta"] == exp["eta"]
+    assert "{:.6f}".format(got["lr"]) == exp["lr"]
+    assert "{:.6f}".format(got["loss"]) == exp["loss"]
+    for k in losses + metrics:
+        assert "{:.6f}".format(got[k]) == exp[k], k
