@@ -295,3 +295,42 @@ def vis_one_image_matplotlib(
     fig.savefig(out_path, dpi=dpi)
     plt.close(fig)
     return out_path
+
+
+def to_cls_format(
+    boxes,
+    scores,
+    classes,
+    rles: Optional[List] = None,
+    keypoints=None,
+    num_classes: int = 81,
+):
+    """Flat detections -> Detectron's per-class interchange format
+    (``cls_boxes``/``cls_segms``/``cls_keyps``), the structure the
+    reference's testing and visualisation code passes around (reference
+    result_utils.py:96-168 produces it; vis.py:68-88 consumes it via
+    ``convert_from_cls_format``). Lets reference-ecosystem tools consume
+    this framework's outputs directly.
+
+    Returns (cls_boxes, cls_segms, cls_keyps): cls_boxes[j] is an (n_j, 5)
+    float32 array of [x1, y1, x2, y2, score]; cls_segms[j] a list of RLE
+    dicts (None if `rles` is None); cls_keyps[j] a list of (4, P) keypoint
+    arrays (None if `keypoints` is None)."""
+    boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
+    scores = np.asarray(scores, np.float32).reshape(-1)
+    classes = np.asarray(classes).astype(int).reshape(-1)
+    cls_boxes = [np.zeros((0, 5), np.float32) for _ in range(num_classes)]
+    cls_segms = [[] for _ in range(num_classes)] if rles is not None else None
+    cls_keyps = [[] for _ in range(num_classes)] if keypoints is not None else None
+    for j in range(1, num_classes):
+        sel = np.where(classes == j)[0]
+        if len(sel) == 0:
+            continue
+        cls_boxes[j] = np.hstack(
+            [boxes[sel], scores[sel, None]]
+        ).astype(np.float32)
+        if rles is not None:
+            cls_segms[j] = [rles[i] for i in sel]
+        if keypoints is not None:
+            cls_keyps[j] = [np.asarray(keypoints[i]) for i in sel]
+    return cls_boxes, cls_segms, cls_keyps

@@ -1143,3 +1143,100 @@ def test_training_stats_match_reference(ref_training_stats, rng):
     assert "{:.6f}".format(got["loss"]) == exp["loss"]
     for k in losses + metrics:
         assert "{:.6f}".format(got[k]) == exp[k], k
+
+
+@pytest.fixture(scope="module")
+def ref_vis():
+    """The reference's utils/vis.py executed (cv2 + matplotlib are real;
+    pycocotools.mask gets a list-aware decode over our RLE codec)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from detectorch_tpu.eval import rle as rle_mod
+
+    colormap_mod = _load_ref("colormap")
+
+    def extra(reg):
+        utils_pkg = types.ModuleType("utils")
+        utils_pkg.colormap = colormap_mod
+        reg("utils", utils_pkg)
+        reg("utils.colormap", colormap_mod)
+
+        # the reference targets OpenCV 3.x, whose findContours returned
+        # (image, contours, hierarchy); OpenCV 4.x dropped the first element
+        import cv2 as real_cv2
+
+        cv2_shim = types.ModuleType("cv2")
+        cv2_shim.__dict__.update(real_cv2.__dict__)
+
+        def _find_contours(*a, **k):
+            out = real_cv2.findContours(*a, **k)
+            return out if len(out) == 3 else (None,) + out
+
+        cv2_shim.findContours = _find_contours
+        reg("cv2", cv2_shim)
+        mask_stub = sys.modules["pycocotools.mask"]  # from _ref_stub_modules
+
+        def _decode(rs):
+            rs = rs if isinstance(rs, (list, tuple)) else [rs]
+            return np.stack([rle_mod.decode(r) for r in rs], axis=2)
+
+        mask_stub.decode = _decode
+
+    return _load_ref_stubbed("utils/vis.py", "vis", extra)
+
+
+def _synth_dets(rng, h=120, w=160, n=6):
+    from detectorch_tpu.eval import rle as rle_mod
+
+    boxes = _rand_boxes(rng, n, h, w)
+    scores = np.linspace(0.95, 0.55, n).astype(np.float32)
+    classes = rng.randint(1, 81, n)
+    rles = []
+    for b in boxes:
+        m = np.zeros((h, w), np.uint8)
+        x1, y1, x2, y2 = b.astype(int)
+        m[y1:y2 + 1, x1:x2 + 1] = 1
+        rles.append(rle_mod.encode(np.asfortranarray(m)))
+    return boxes, scores, classes, rles
+
+
+def test_cls_format_roundtrip_through_reference(ref_vis, rng):
+    """to_cls_format -> the reference's own convert_from_cls_format
+    (vis.py:68-88) recovers the flat detections in class-major order."""
+    from detectorch_tpu.utils.vis import to_cls_format
+
+    boxes, scores, classes, rles = _synth_dets(rng)
+    cls_boxes, cls_segms, _ = to_cls_format(boxes, scores, classes, rles)
+    with _np_compat():
+        fb, fs, fk, fc = ref_vis.convert_from_cls_format(
+            cls_boxes, cls_segms, None
+        )
+    order = np.lexsort((np.arange(len(classes)), classes))
+    np.testing.assert_allclose(fb[:, :4], boxes[order], rtol=0, atol=0)
+    np.testing.assert_allclose(fb[:, 4], scores[order], rtol=0, atol=0)
+    assert fc == [int(c) for c in classes[order]]
+    assert fs == [rles[i] for i in order]
+
+
+def test_reference_vis_renders_our_outputs(ref_vis, rng, tmp_path):
+    """The reference's own renderers (vis_one_image matplotlib-pdf path
+    vis.py:251-392, vis_one_image_opencv vis.py:201-249) consume our
+    to_cls_format structures + RLE codec end-to-end."""
+    from detectorch_tpu.utils.vis import to_cls_format
+
+    boxes, scores, classes, rles = _synth_dets(rng)
+    cls_boxes, cls_segms, _ = to_cls_format(boxes, scores, classes, rles)
+    im = rng.randint(0, 255, (120, 160, 3)).astype(np.uint8)
+    with _np_compat():
+        ref_vis.vis_one_image(
+            im, "synth_img", str(tmp_path), cls_boxes, cls_segms,
+            thresh=0.6, show_class=True, ext="pdf",
+        )
+        out = ref_vis.vis_one_image_opencv(
+            im.copy(), cls_boxes, cls_segms, thresh=0.6, show_box=True,
+            show_class=True,
+        )
+    pdf = tmp_path / "synth_img.pdf"
+    assert pdf.exists() and pdf.stat().st_size > 1000
+    assert not np.array_equal(out, im)  # it actually drew
