@@ -310,3 +310,83 @@ def test_reference_full_model_fpn_mask_rcnn(ref_env, tmp_path):
         probs = model.mask_head(ref_feats, per_level, restore).numpy()
     exp = np.stack([probs[i, det_classes[i]] for i in range(len(det_classes))])
     np.testing.assert_allclose(got_masks, exp, rtol=5e-2, atol=5e-3)
+
+
+def test_reference_full_model_fast_rcnn_fpn(ref_env, tmp_path):
+    """fast_rcnn_R-50-FPN_2x (no RPN, precomputed proposals — the
+    eval_fast_FPN.ipynb drive): the reference detector consumes the same
+    dedup'd scaled proposals through collect-free multilevel RoIAlign +
+    two_layer_mlp; covers our proposals-input (Fast R-CNN) mode."""
+    import jax
+    import jax.numpy as jnp
+
+    ref_det, ref_ml = ref_env
+    cfg, params = _our_params("fast_rcnn_R-50-FPN_2x", seed=23)
+    assert not cfg.use_rpn
+    pkl = str(tmp_path / "ours_fast_fpn.pkl")
+    save_caffe2_pkl(params, cfg, pkl)
+
+    with _np_compat(), _ref_stub_modules():
+        model = ref_det.detector(
+            arch="resnet50",
+            detector_pkl_file=pkl,
+            conv_body_layers=["conv1", "bn1", "relu", "maxpool",
+                              "layer1", "layer2", "layer3", "layer4"],
+            conv_head_layers="two_layer_mlp",
+            fpn_layers=["layer1", "layer2", "layer3", "layer4"],
+            fpn_extra_lvl=True,
+            roi_height=7,
+            roi_width=7,
+            roi_spatial_scale=[0.25, 0.125, 0.0625, 0.03125],
+            roi_sampling_ratio=2,
+            use_rpn_head=False,
+            use_mask_head=False,
+        )
+
+    rng = np.random.RandomState(19)
+    image = (rng.randn(320, 448, 3) * 8).astype(np.float32)
+    img_t = torch.from_numpy(image).permute(2, 0, 1)[None].contiguous()
+
+    from detectorch_tpu.data.transforms import dedup_proposals
+    from tests.test_reference_oracles import _rand_boxes
+
+    raw = _rand_boxes(rng, 70, 320, 448)
+    props, _ = dedup_proposals(raw.astype(np.float32), spatial_scale=0.0625)
+    n = len(props)
+
+    # reference drive: per-level roi lists + restore index
+    # (preprocess_sample.py:42-45 -> detector.forward rois/roi_original_idx)
+    with torch.no_grad(), _np_compat(), _ref_stub_modules():
+        ml = ref_ml.add_multilevel_rois_for_test(
+            {"rois": props.astype(np.float32)}, "rois"
+        )
+        per_level = [
+            torch.from_numpy(np.asarray(ml[k], np.float32).reshape(-1, 4))
+            for k in ["rois_fpn2", "rois_fpn3", "rois_fpn4", "rois_fpn5"]
+        ]
+        restore = torch.from_numpy(
+            np.asarray(ml["rois_idx_restore_int32"])
+        ).long()
+        ref_cls, ref_bbox, ref_rois, _ = model(
+            img_t, rois=per_level, scaling_factor=1.0,
+            roi_original_idx=restore,
+        )
+
+    tcfg = TestConfig(detections_per_img=20)
+    pad = np.zeros((128, 4), np.float32)
+    pad[:n] = props
+    valid = np.zeros(128, bool)
+    valid[:n] = True
+    fwd = jax.jit(make_inference_fn(cfg, tcfg, num_proposals=128))
+    out = fwd(params, image, jnp.float32(1.0), jnp.float32(320),
+              jnp.float32(448), jnp.asarray(pad), jnp.asarray(valid))
+
+    got_valid = np.asarray(out.roi_valid)
+    got_rois = np.asarray(out.rois)[got_valid]
+    # proposals-in mode: order is the input order on our side; the reference
+    # returns them level-grouped then restored — identical order, no ties
+    np.testing.assert_allclose(got_rois, ref_rois.numpy(), rtol=0, atol=1e-4)
+    got_cls = np.asarray(out.cls_scores)[got_valid]
+    np.testing.assert_allclose(got_cls, ref_cls.numpy(), rtol=5e-2, atol=6e-3)
+    got_bbox = np.asarray(out.bbox_deltas)[got_valid]
+    np.testing.assert_allclose(got_bbox, ref_bbox.numpy(), rtol=5e-2, atol=5e-2)
