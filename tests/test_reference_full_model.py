@@ -390,3 +390,46 @@ def test_reference_full_model_fast_rcnn_fpn(ref_env, tmp_path):
     np.testing.assert_allclose(got_cls, ref_cls.numpy(), rtol=5e-2, atol=6e-3)
     got_bbox = np.asarray(out.bbox_deltas)[got_valid]
     np.testing.assert_allclose(got_bbox, ref_bbox.numpy(), rtol=5e-2, atol=5e-2)
+
+
+def test_reference_full_model_fpn_mask_rcnn_r101(ref_env, tmp_path):
+    """e2e_mask_rcnn_R-101-FPN_2x — demo_FPN.ipynb's ACTUAL model. Uniquely
+    exercises the reference loader's R-101 FPN lateral blob-name derivation
+    (detector.py:355-360 walks layer3's 23-block state dict to 'res4_22')
+    against our exporter, plus the deeper body at value level."""
+    import jax.numpy as jnp
+
+    ref_det, ref_ml = ref_env
+    cfg, params = _our_params("e2e_mask_rcnn_R-101-FPN_2x", seed=29)
+    assert cfg.arch == "resnet101"
+    pkl = str(tmp_path / "ours_fpn101.pkl")
+    save_caffe2_pkl(params, cfg, pkl)
+
+    with _np_compat(), _ref_stub_modules():
+        model = ref_det.detector(
+            arch="resnet101",
+            detector_pkl_file=pkl,
+            conv_body_layers=["conv1", "bn1", "relu", "maxpool",
+                              "layer1", "layer2", "layer3", "layer4"],
+            conv_head_layers="two_layer_mlp",
+            fpn_layers=["layer1", "layer2", "layer3", "layer4"],
+            fpn_extra_lvl=True,
+            roi_height=7,
+            roi_width=7,
+            roi_spatial_scale=[0.25, 0.125, 0.0625, 0.03125],
+            roi_sampling_ratio=2,
+            use_rpn_head=True,
+            use_mask_head=True,
+            mask_head_type="1up4convs",
+        )
+
+    rng = np.random.RandomState(13)
+    image = (rng.randn(256, 384, 3) * 8).astype(np.float32)
+    img_t = torch.from_numpy(image).permute(2, 0, 1)[None].contiguous()
+
+    with torch.no_grad(), _np_compat(), _ref_stub_modules():
+        ref_cls, ref_bbox, ref_rois, _ = model(img_t, scaling_factor=1.0)
+
+    tcfg = TestConfig(detections_per_img=20)
+    out = _run_ours(cfg, tcfg, params, image)
+    _compare_common(out, ref_cls.numpy(), ref_bbox.numpy(), ref_rois.numpy())
