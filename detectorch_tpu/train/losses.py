@@ -59,3 +59,27 @@ def accuracy(logits, labels, valid=None):
         return jnp.mean(correct)
     valid = valid.astype(jnp.float32)
     return jnp.sum(correct * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+
+def mask_loss(mask_logits, mask_targets, labels, mask_valid):
+    """Mask branch loss: per-pixel sigmoid cross-entropy on the gt-class
+    channel, averaged over the valid foreground rois' pixels (upstream
+    Detectron mask_rcnn_heads SigmoidCrossEntropyLoss semantics, which
+    averages over non-ignored elements; the reference repo has no mask
+    training code).
+
+    mask_logits (Rf, M, M, K); mask_targets (Rf, M, M) in {0,1};
+    labels (Rf,) int gt classes of the fg rois; mask_valid (Rf,) bool."""
+    cls_logits = jnp.take_along_axis(
+        mask_logits, labels[:, None, None, None].astype(jnp.int32), axis=-1
+    )[..., 0].astype(jnp.float32)                       # (Rf, M, M)
+    t = mask_targets.astype(jnp.float32)
+    # numerically-stable BCE with logits
+    per_pix = (
+        jnp.maximum(cls_logits, 0.0)
+        - cls_logits * t
+        + jnp.log1p(jnp.exp(-jnp.abs(cls_logits)))
+    )
+    w = mask_valid.astype(jnp.float32)[:, None, None]
+    denom = jnp.maximum(jnp.sum(w) * t.shape[1] * t.shape[2], 1.0)
+    return jnp.sum(per_pix * w) / denom

@@ -66,6 +66,25 @@ def keypoints_to_heatmap_labels(kps: np.ndarray, rois: np.ndarray,
     return labels, valid
 
 
+def polys_to_mask_wrt_box(polys, box, resolution: int) -> np.ndarray:
+    """Rasterise COCO polygons into an MxM binary mask in the frame of
+    `box` (upstream Detectron segm_utils.polys_to_mask_wrt_box — the mask
+    TRAINING target transform; the reference repo has no mask training
+    code): shift polygons by the box origin, scale to M/box_size, raster,
+    binarize. Box width/height are floored at 1 like upstream."""
+    from detectorch_tpu.eval.rle import polygons_to_mask
+
+    w = max(float(box[2]) - float(box[0]), 1.0)
+    h = max(float(box[3]) - float(box[1]), 1.0)
+    norm = []
+    for p in polys:
+        p = np.asarray(p, np.float64).copy()
+        p[0::2] = (p[0::2] - float(box[0])) * resolution / w
+        p[1::2] = (p[1::2] - float(box[1])) * resolution / h
+        norm.append(p)
+    return (polygons_to_mask(norm, resolution, resolution) > 0).astype(np.uint8)
+
+
 def sample_rois(
     entry: RoidbEntry,
     im_scale: float,
@@ -74,6 +93,7 @@ def sample_rois(
     num_classes: int = 81,
     compact_targets: bool = False,
     keypoint_heatmap_size: int = 56,
+    mask_resolution: int = 0,
 ) -> Dict[str, np.ndarray]:
     """One image -> fixed-shape training blobs.
 
@@ -129,6 +149,24 @@ def sample_rois(
     out["rois"][:n] = boxes * im_scale
     out["labels"][:n] = labels
     out["valid"][:n] = True
+    if mask_resolution:
+        m = mask_resolution
+        out["mask_targets"] = np.zeros((r, m, m), np.uint8)
+        out["mask_valid"] = np.zeros(r, bool)
+        if fg_count and entry.segms:
+            gt_inds = np.where(entry.gt_classes > 0)[0]
+            fg_keep = keep[:fg_count]
+            for i, ind in enumerate(fg_keep):
+                g = entry.box_to_gt_ind_map[ind]
+                if g < 0 or g >= len(gt_inds):
+                    continue
+                segm = entry.segms[gt_inds[g]]
+                if not isinstance(segm, list) or not segm:
+                    continue  # crowd RLE: never a mask-training target
+                out["mask_targets"][i] = polys_to_mask_wrt_box(
+                    segm, entry.boxes[ind], m
+                )
+                out["mask_valid"][i] = True
     if entry.gt_keypoints is not None:
         p = entry.gt_keypoints.shape[1]
         out["kp_labels"] = np.zeros((r, p), np.int32)

@@ -34,7 +34,8 @@ class TrainState(NamedTuple):
 
 def box_branch_loss(params, cfg: ModelConfig, image, rois, labels,
                     bbox_targets, bbox_inside_weights, bbox_outside_weights,
-                    valid, kp_labels=None, kp_valid=None):
+                    valid, kp_labels=None, kp_valid=None,
+                    mask_targets=None, mask_valid=None):
     """Single-image Fast R-CNN loss (reference train_fast.py:141-155).
 
     When ``cfg.keypoint`` is set and kp_labels/kp_valid (Rk, P) are given,
@@ -42,7 +43,12 @@ def box_branch_loss(params, cfg: ModelConfig, image, rois, labels,
     places foreground rows first, so a static slice of fg-capacity rows
     covers every possible fg roi; padded/bg rows carry kp_valid=False) and
     its spatial-softmax loss is added (upstream Detectron keypoint_rcnn
-    training; the reference repo has no keypoint training code)."""
+    training; the reference repo has no keypoint training code).
+
+    Likewise, when ``cfg.use_mask`` and mask_targets/mask_valid (Rm, M, M)/
+    (Rm,) are given, the mask branch runs on the FIRST Rm rois and adds the
+    per-pixel sigmoid CE on each fg roi's gt-class channel (upstream
+    Detectron mask training; absent from the reference repo)."""
     x = image[None].astype(jnp.dtype(cfg.compute_dtype))
     pyramid = c4 = None
     if cfg.use_fpn:
@@ -109,6 +115,32 @@ def box_branch_loss(params, cfg: ModelConfig, image, rois, labels,
         total = total + loss_kps
         metrics["loss_kps"] = loss_kps
 
+    if cfg.use_mask and mask_targets is not None:
+        rm = mask_targets.shape[0]
+        mrois = rois[:rm]
+        msize = cfg.mask.roi_size
+        if cfg.use_fpn:
+            mlevels = levels[:rm]
+            mask_feats = multilevel_roi_align(
+                [p[0] for p in pyramid], mrois, mlevels,
+                cfg.fpn_spatial_scales, msize, msize, cfg.roi_sampling_ratio,
+            )
+        else:
+            mask_feats = roi_align_matmul(
+                c4[0], mrois, msize, msize,
+                cfg.spatial_scale, cfg.roi_sampling_ratio,
+                precision=cfg.roi_align_precision,
+            )
+        mask_logits = heads_mod.mask_head(
+            params, mask_feats.astype(jnp.dtype(cfg.compute_dtype)),
+            cfg.mask.head_type, cfg.arch, output_prob=False,
+        )  # (Rm, M, M, K)
+        loss_mask = losses.mask_loss(
+            mask_logits, mask_targets, labels[:rm], mask_valid
+        )
+        total = total + loss_mask
+        metrics["loss_mask"] = loss_mask
+
     return total, metrics
 
 
@@ -135,7 +167,8 @@ def expand_bbox_targets_device(compact, num_classes: int):
 
 def make_train_step(cfg: ModelConfig, solver_cfg: SolverConfig = SolverConfig(),
                     device_input: bool = False,
-                    blob_hw: Tuple[int, int] = (1344, 1344)):
+                    blob_hw: Tuple[int, int] = (1344, 1344),
+                    train_mask: bool = False):
     """Returns (init_state, step_fn) for batched Fast R-CNN training.
 
     step_fn(state, batch) -> (state, metrics); batch is a dict of arrays with
@@ -154,23 +187,35 @@ def make_train_step(cfg: ModelConfig, solver_cfg: SolverConfig = SolverConfig(),
     weight tensors on device.
     """
     has_kp = cfg.keypoint is not None
+    if train_mask:
+        assert cfg.use_mask, "train_mask=True needs a mask preset"
+
+    def _extras(batch):
+        # optional per-image branch blobs, carried as one dict pytree so the
+        # branches compose: keypoint presets add kp_labels (B, Rk, P) heatmap
+        # bin indices + kp_valid (B, Rk, P); mask training adds mask_targets
+        # (B, Rm, M, M) {0,1} + mask_valid (B, Rm) — both over the first
+        # fg-capacity roi rows (train/sampler.sample_rois places fg first)
+        extra = {}
+        if has_kp:
+            extra["kp_labels"] = batch["kp_labels"]
+            extra["kp_valid"] = batch["kp_valid"]
+        if train_mask:
+            extra["mask_targets"] = batch["mask_targets"]
+            extra["mask_valid"] = batch["mask_valid"]
+        return extra
 
     def batched_loss(params, batch):
-        # keypoint presets carry two extra per-image blobs: kp_labels
-        # (B, Rk, P) heatmap bin indices + kp_valid (B, Rk, P) over the
-        # first Rk (fg-capacity) roi rows (train/sampler.sample_rois)
-        kp = (batch["kp_labels"], batch["kp_valid"]) if has_kp else ()
-
-        def one(image, rois, labels, t, iw, ow, valid, *kp_args):
+        def one(image, rois, labels, t, iw, ow, valid, extra):
             return box_branch_loss(
-                params, cfg, image, rois, labels, t, iw, ow, valid, *kp_args
+                params, cfg, image, rois, labels, t, iw, ow, valid, **extra
             )
 
         if device_input:
             from detectorch_tpu.data.device_input import device_preprocess
 
             def one_raw(raw, tables, meta, rois, labels, compact, valid,
-                        *kp_args):
+                        extra):
                 out_h, out_w = blob_hw  # static: the fixed training bucket
                 image = device_preprocess(
                     raw,
@@ -181,19 +226,19 @@ def make_train_step(cfg: ModelConfig, solver_cfg: SolverConfig = SolverConfig(),
                 )
                 t, iw = expand_bbox_targets_device(compact, cfg.num_classes)
                 ow = (iw > 0).astype(iw.dtype)
-                return one(image, rois, labels, t, iw, ow, valid, *kp_args)
+                return one(image, rois, labels, t, iw, ow, valid, extra)
 
             total, metrics = jax.vmap(one_raw)(
                 batch["raw"], batch["tables"], batch["meta"], batch["rois"],
                 batch["labels"], batch["bbox_targets_compact"],
-                batch["valid"], *kp,
+                batch["valid"], _extras(batch),
             )
             return jnp.mean(total), jax.tree.map(jnp.mean, metrics)
 
         total, metrics = jax.vmap(one)(
             batch["image"], batch["rois"], batch["labels"],
             batch["bbox_targets"], batch["bbox_inside_weights"],
-            batch["bbox_outside_weights"], batch["valid"], *kp,
+            batch["bbox_outside_weights"], batch["valid"], _extras(batch),
         )
         return jnp.mean(total), jax.tree.map(jnp.mean, metrics)
 

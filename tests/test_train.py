@@ -291,3 +291,102 @@ def test_train_step_device_input_matches_host_blob(rng):
         np.asarray(s2.params["cls_score_w"]),
         np.asarray(s1.params["cls_score_w"]), rtol=1e-3, atol=1e-6,
     )
+
+
+def test_polys_to_mask_wrt_box():
+    """Upstream polys_to_mask_wrt_box semantics: rasterise in roi frame."""
+    box = np.array([10.0, 20.0, 50.0, 60.0])
+    # polygon == the box itself -> (near-)full mask
+    full = [[10, 20, 50, 20, 50, 60, 10, 60]]
+    m = S.polys_to_mask_wrt_box(full, box, 28)
+    assert m.shape == (28, 28) and m.dtype == np.uint8
+    assert m.mean() > 0.9
+    # left half of the box -> left columns set, right columns clear
+    half = [[10, 20, 30, 20, 30, 60, 10, 60]]
+    m = S.polys_to_mask_wrt_box(half, box, 28)
+    assert m[:, :12].mean() > 0.9
+    assert m[:, 16:].mean() == 0.0
+    # polygon fully outside the box -> empty
+    out = [[100, 100, 120, 100, 120, 120, 100, 120]]
+    assert S.polys_to_mask_wrt_box(out, box, 28).sum() == 0
+
+
+def test_mask_loss_matches_torch(rng):
+    import torch
+    import torch.nn.functional as F
+
+    from detectorch_tpu.train import losses as L
+
+    rm, m, k = 6, 14, 7
+    logits = rng.randn(rm, m, m, k).astype(np.float32)
+    targets = (rng.rand(rm, m, m) > 0.5).astype(np.uint8)
+    labels = rng.randint(1, k, rm)
+    valid = np.array([True, True, True, False, True, False])
+
+    got = float(L.mask_loss(
+        jnp.asarray(logits), jnp.asarray(targets), jnp.asarray(labels),
+        jnp.asarray(valid),
+    ))
+    sel = np.where(valid)[0]
+    cls = logits[sel, :, :, :][np.arange(len(sel)), :, :, labels[sel]]
+    exp = F.binary_cross_entropy_with_logits(
+        torch.from_numpy(cls), torch.from_numpy(targets[sel]).float(),
+        reduction="mean",
+    ).item()
+    np.testing.assert_allclose(got, exp, rtol=1e-5)
+
+
+def test_sampler_mask_targets(rng):
+    e = make_entry(rng)
+    # rectangle polygons exactly covering each gt box
+    e.segms.extend([
+        [[10, 10, 60, 10, 60, 60, 10, 60]],
+        [[70, 30, 120, 30, 120, 100, 70, 100]],
+    ])
+    cfg = SamplerConfig(rois_per_image=32)
+    b = S.sample_rois(e, 1.0, rng, cfg, mask_resolution=28)
+    assert b["mask_targets"].shape == (32, 28, 28)
+    fg = np.where(b["labels"] > 0)[0]
+    assert b["mask_valid"][fg].all()
+    assert not b["mask_valid"][len(fg):].any()
+    # a gt roi sampled as fg gets a (near-)full target (poly == its box)
+    for i in fg:
+        assert b["mask_targets"][i].any()
+
+
+def test_train_step_mask_branch(rng):
+    """One jitted Mask R-CNN training step (box + mask losses): runs, emits a
+    finite positive loss_mask, and the gradient reaches the mask head."""
+    cfg = PRESETS["e2e_mask_rcnn_R-50-FPN_2x"].replace(compute_dtype="float32")
+    params = init_params(cfg, seed=0)
+    solver = SolverConfig(base_lr=1e-4, warmup_iters=0, weight_decay=0.0)
+    init_state, make_step = make_train_step(cfg, solver, train_mask=True)
+    state, tx = init_state(params)
+    step = jax.jit(make_step(tx))
+
+    e = make_entry(rng)
+    e.segms.extend([
+        [[10, 10, 60, 10, 60, 60, 10, 60]],
+        [[70, 30, 120, 30, 120, 100, 70, 100]],
+    ])
+    scfg = SamplerConfig(rois_per_image=32)
+    rm = int(np.round(scfg.fg_fraction * scfg.rois_per_image))
+    b = S.sample_rois(e, 0.5, rng, scfg, mask_resolution=cfg.mask.resolution)
+    image = rng.randn(64, 128, 3).astype(np.float32)  # /64-divisible (FPN)
+    batch = {
+        "image": image[None],
+        "rois": b["rois"][None],
+        "labels": b["labels"][None],
+        "bbox_targets": b["bbox_targets"][None],
+        "bbox_inside_weights": b["bbox_inside_weights"][None],
+        "bbox_outside_weights": b["bbox_outside_weights"][None],
+        "valid": b["valid"][None],
+        "mask_targets": b["mask_targets"][:rm][None],
+        "mask_valid": b["mask_valid"][:rm][None],
+    }
+    before = np.asarray(state.params["_[mask]_fcn1_w"]).copy()
+    state, metrics = step(state, batch)
+    lm = float(metrics["loss_mask"])
+    assert np.isfinite(lm) and lm > 0
+    after = np.asarray(state.params["_[mask]_fcn1_w"])
+    assert np.abs(before - after).max() > 0  # gradient reached the mask head

@@ -56,11 +56,19 @@ def parse_args():
                    help="train the Keypoint R-CNN preset (box branch + "
                         "KRCNN keypoint head) from a person-keypoints "
                         "dataset; --fpn is implied")
+    p.add_argument("--masks", action="store_true",
+                   help="train the full Mask R-CNN preset: box branch + "
+                        "mask head with polys_to_mask_wrt_box targets "
+                        "(upstream Detectron mask training; the reference "
+                        "repo trains boxes only)")
     args = p.parse_args()
-    if not args.keypoints and not args.proposals:
+    if args.masks and args.keypoints:
+        p.error("--masks and --keypoints are mutually exclusive presets")
+    if not args.keypoints and not args.masks and not args.proposals:
         # Fast R-CNN needs hard negatives from precomputed proposals;
-        # gt-only training is a keypoint-mode choice, not a silent default
-        p.error("--proposals is required unless --keypoints is given")
+        # gt-only training is a keypoint/mask-mode choice, not a silent
+        # default for the plain box preset
+        p.error("--proposals is required unless --keypoints/--masks is given")
     return args
 
 
@@ -89,6 +97,9 @@ def main():
 
     if args.keypoints:
         preset = "e2e_keypoint_rcnn_R-50-FPN_1x"
+    elif args.masks:
+        preset = ("e2e_mask_rcnn_R-50-FPN_2x" if args.fpn
+                  else "e2e_mask_rcnn_R-50-C4_2x")
     else:
         preset = "fast_rcnn_R-50-FPN_2x" if args.fpn else "fast_rcnn_R-50-C4_2x"
     cfg = PRESETS[preset].replace(arch=args.arch)
@@ -103,9 +114,11 @@ def main():
     ds, roidb = roidb_for_training(args.ann, args.imdir, args.proposals,
                                    require_keypoints=args.keypoints)
     print(f"roidb: {len(roidb)} entries", flush=True)
-    # static fg-capacity row count for the keypoint branch (the sampler
-    # places fg rows first, so slicing the first kp_rows rows covers them)
-    kp_rows = int(np.round(sampler_cfg.fg_fraction * sampler_cfg.rois_per_image))
+    # static fg-capacity row count for the keypoint/mask branches (the
+    # sampler places fg rows first, so slicing the first fg_rows rows
+    # covers every possible foreground roi)
+    fg_rows = int(np.round(sampler_cfg.fg_fraction * sampler_cfg.rois_per_image))
+    mask_res = cfg.mask.resolution if args.masks else 0
 
     params = init_params(cfg, seed=args.seed)
     if args.base_cnn:
@@ -115,7 +128,8 @@ def main():
 
     blob_hw = tuple(args.blob)  # one fixed training bucket -> one program
     init_state, make_step = make_train_step(
-        cfg, solver, device_input=args.device_preprocess, blob_hw=blob_hw
+        cfg, solver, device_input=args.device_preprocess, blob_hw=blob_hw,
+        train_mask=args.masks,
     )
     state, tx = init_state(params)
     step_fn = jax.jit(make_step(tx))
@@ -159,7 +173,8 @@ def main():
             batch = {k: [] for k in ["raw", "tables", "meta", "rois",
                                      "labels", "bbox_targets_compact",
                                      "valid"]
-                     + (["kp_labels", "kp_valid"] if args.keypoints else [])}
+                     + (["kp_labels", "kp_valid"] if args.keypoints else [])
+                     + (["mask_targets", "mask_valid"] if args.masks else [])}
             for _ in range(batch_size):
                 e = roidb[rng.randint(len(roidb))]
                 im = T.load_image_rgb(e.file_path)
@@ -191,6 +206,7 @@ def main():
                     keypoint_heatmap_size=(
                         cfg.keypoint.heatmap_size if cfg.keypoint else 56
                     ),
+                    mask_resolution=mask_res,
                 )
                 batch["raw"].append(rawp)
                 batch["tables"].append(tables)
@@ -201,8 +217,12 @@ def main():
                     blobs["bbox_targets_compact"])
                 batch["valid"].append(blobs["valid"])
                 if args.keypoints:
-                    batch["kp_labels"].append(blobs["kp_labels"][:kp_rows])
-                    batch["kp_valid"].append(blobs["kp_valid"][:kp_rows])
+                    batch["kp_labels"].append(blobs["kp_labels"][:fg_rows])
+                    batch["kp_valid"].append(blobs["kp_valid"][:fg_rows])
+                if args.masks:
+                    batch["mask_targets"].append(
+                        blobs["mask_targets"][:fg_rows])
+                    batch["mask_valid"].append(blobs["mask_valid"][:fg_rows])
             return {
                 k: jax.device_put(np.stack(v), data_sharding)
                 for k, v in batch.items()
@@ -225,15 +245,21 @@ def main():
                 keypoint_heatmap_size=(
                     cfg.keypoint.heatmap_size if cfg.keypoint else 56
                 ),
+                mask_resolution=mask_res,
             )
             batch["image"].append(image)
             for k in keys[1:]:
                 batch[k].append(blobs[k if k != "valid" else "valid"])
             if args.keypoints:
                 batch.setdefault("kp_labels", []).append(
-                    blobs["kp_labels"][:kp_rows])
+                    blobs["kp_labels"][:fg_rows])
                 batch.setdefault("kp_valid", []).append(
-                    blobs["kp_valid"][:kp_rows])
+                    blobs["kp_valid"][:fg_rows])
+            if args.masks:
+                batch.setdefault("mask_targets", []).append(
+                    blobs["mask_targets"][:fg_rows])
+                batch.setdefault("mask_valid", []).append(
+                    blobs["mask_valid"][:fg_rows])
         return {
             k: jax.device_put(np.stack(v), data_sharding)
             for k, v in batch.items()
@@ -246,7 +272,7 @@ def main():
         stats.iter_toc()
         loss_keys = ("loss", "loss_cls", "loss_bbox") + (
             ("loss_kps",) if args.keypoints else ()
-        )
+        ) + (("loss_mask",) if args.masks else ())
         stats.update_iter_stats(
             it,
             {k: metrics[k] for k in loss_keys},
