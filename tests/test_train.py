@@ -390,3 +390,41 @@ def test_train_step_mask_branch(rng):
     assert np.isfinite(lm) and lm > 0
     after = np.asarray(state.params["_[mask]_fcn1_w"])
     assert np.abs(before - after).max() > 0  # gradient reached the mask head
+
+
+def test_train_step_mask_loss_decreases(rng):
+    """Overfit one batch: the mask loss itself must fall (the branch learns,
+    not just receives gradient)."""
+    cfg = PRESETS["e2e_mask_rcnn_R-50-FPN_2x"].replace(compute_dtype="float32")
+    params = init_params(cfg, seed=1)
+    solver = SolverConfig(base_lr=5e-4, warmup_iters=0, weight_decay=0.0)
+    init_state, make_step = make_train_step(cfg, solver, train_mask=True)
+    state, tx = init_state(params)
+    step = jax.jit(make_step(tx))
+
+    e = make_entry(rng)
+    e.segms.extend([
+        [[10, 10, 60, 10, 60, 60, 10, 60]],
+        [[70, 30, 120, 30, 120, 100, 70, 100]],
+    ])
+    scfg = SamplerConfig(rois_per_image=32)
+    rm = int(np.round(scfg.fg_fraction * scfg.rois_per_image))
+    b = S.sample_rois(e, 0.5, rng, scfg, mask_resolution=cfg.mask.resolution)
+    image = rng.randn(64, 128, 3).astype(np.float32)
+    batch = {
+        "image": image[None],
+        "rois": b["rois"][None],
+        "labels": b["labels"][None],
+        "bbox_targets": b["bbox_targets"][None],
+        "bbox_inside_weights": b["bbox_inside_weights"][None],
+        "bbox_outside_weights": b["bbox_outside_weights"][None],
+        "valid": b["valid"][None],
+        "mask_targets": b["mask_targets"][:rm][None],
+        "mask_valid": b["mask_valid"][:rm][None],
+    }
+    ml = []
+    for _ in range(8):
+        state, metrics = step(state, batch)
+        ml.append(float(metrics["loss_mask"]))
+    assert np.isfinite(ml).all()
+    assert ml[-1] < ml[0]
