@@ -134,3 +134,17 @@ def test_train_fast_cli_masks(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "loss_mask" in r.stdout
     assert "saved" in r.stdout
+
+    # train -> eval loop closure: evaluate the orbax training checkpoint
+    # (box + mask heads it just trained) through the full eval stack
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "eval_coco.py"),
+         "--preset", "e2e_mask_rcnn_R-50-FPN_2x", "--orbax",
+         "--weights", out, "--ann", ann, "--imdir", imdir,
+         "--limit", "1", "--fp32", "--exact-blob",
+         "--target-sizes", "96"],
+        capture_output=True, text=True, timeout=1200, env=env, cwd=REPO,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "loading orbax checkpoint" in r2.stdout
+    assert "box AP" in r2.stdout and "mask AP" in r2.stdout

@@ -27,7 +27,13 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--preset", required=True)
-    p.add_argument("--weights", required=True, help="Detectron .pkl checkpoint")
+    p.add_argument("--weights", required=True,
+                   help="Detectron .pkl checkpoint, or (with --orbax) a "
+                        "tools/train_fast.py run directory / checkpoint path")
+    p.add_argument("--orbax", action="store_true",
+                   help="load params from an orbax TRAINING checkpoint "
+                        "(latest ckpt-* under --weights) instead of a "
+                        "Detectron pkl — closes the train->eval loop")
     p.add_argument("--ann", required=True)
     p.add_argument("--imdir", required=True)
     p.add_argument("--proposals", default=None,
@@ -65,10 +71,21 @@ def main():
     test_cfg = TestConfig(exact_blob_dims=args.exact_blob,
                           device_preprocess=args.device_preprocess)
 
-    print(f"loading weights {args.weights}", flush=True)
-    blobs = c2.load_caffe2_pkl(args.weights)
-    params = c2.import_params(blobs, cfg)
-    params = c2.fold_bn(params)
+    if args.orbax:
+        import numpy as np
+
+        from detectorch_tpu.checkpoint import store
+
+        path = store.latest_checkpoint(args.weights) or args.weights
+        print(f"loading orbax checkpoint {path}", flush=True)
+        tree = store.restore_checkpoint(path)
+        params = {k: np.asarray(v) for k, v in tree["params"].items()}
+        params = c2.fold_bn(params)
+    else:
+        print(f"loading weights {args.weights}", flush=True)
+        blobs = c2.load_caffe2_pkl(args.weights)
+        params = c2.import_params(blobs, cfg)
+        params = c2.fold_bn(params)
 
     ds = CocoDataset(args.ann, args.imdir)
     roidb = ds.get_roidb(
