@@ -33,10 +33,12 @@ from detectorch_tpu.ops.anchors import shifted_anchors
 from detectorch_tpu.models.resnet import conv
 
 
-def rpn_head(params, x, prefix: str = ""):
+def rpn_head(params, x, prefix: str = "", return_logits: bool = False):
     """x: (N, H, W, C). Returns (cls_prob (N,H,W,A), bbox_pred (N,H,W,4A)).
 
     prefix '' for C4 blobs, '_fpn2' for the shared FPN head.
+    return_logits=True returns the raw objectness logits instead of the
+    sigmoid probability (the e2e RPN training loss needs logits).
     """
     h = jax.nn.relu(
         conv(x, params[f"conv_rpn{prefix}_w"], pad=1)
@@ -45,13 +47,13 @@ def rpn_head(params, x, prefix: str = ""):
     logits = (
         conv(h, params[f"rpn_cls_logits{prefix}_w"])
         + params[f"rpn_cls_logits{prefix}_b"].astype(x.dtype)
-    )
-    cls_prob = jax.nn.sigmoid(logits.astype(jnp.float32))
+    ).astype(jnp.float32)
+    cls_out = logits if return_logits else jax.nn.sigmoid(logits)
     bbox_pred = (
         conv(h, params[f"rpn_bbox_pred{prefix}_w"])
         + params[f"rpn_bbox_pred{prefix}_b"].astype(x.dtype)
     ).astype(jnp.float32)
-    return cls_prob, bbox_pred
+    return cls_out, bbox_pred
 
 
 class Proposals(NamedTuple):

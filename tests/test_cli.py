@@ -148,3 +148,29 @@ def test_train_fast_cli_masks(tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert "loading orbax checkpoint" in r2.stdout
     assert "box AP" in r2.stdout and "mask AP" in r2.stdout
+
+
+def test_train_fast_cli_e2e(tmp_path):
+    """tools/train_fast.py --e2e end-to-end as a subprocess: joint RPN + box
+    training from gt boxes alone (no proposal file), 2 iters on CPU;
+    loss_rpn_cls/loss_rpn_bbox must appear in the json_stats log and a
+    checkpoint must be written."""
+    from detectorch_tpu.data.synth import build_synth_coco
+
+    ann, imdir = build_synth_coco(
+        str(tmp_path / "ds"), n_images=2, height=96, width=128, seed=5,
+    )
+    out = str(tmp_path / "run")
+    env = dict(os.environ, DETECTORCH_CPU="1")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "train_fast.py"),
+         "--ann", ann, "--imdir", imdir, "--e2e",
+         "--out", out, "--max-iter", "2",
+         "--checkpoint-period", "2", "--log-period", "1",
+         "--base-lr", "0.001", "--target-size", "96", "--max-size", "128",
+         "--blob", "96", "128", "--rois-per-image", "16"],
+        capture_output=True, text=True, timeout=1200, env=env, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "loss_rpn_cls" in r.stdout and "loss_rpn_bbox" in r.stdout
+    assert "saved" in r.stdout

@@ -1,0 +1,242 @@
+"""End-to-end (RPN + box head) training: device-side target assignment and
+roi sampling vs numpy transcriptions of the upstream Detectron semantics,
+plus jitted-step smoke/overfit checks. (The reference repo has no e2e
+training code to execute as an oracle — it trains Fast R-CNN only.)"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+pytestmark = pytest.mark.slow
+
+from detectorch_tpu.config import PRESETS, SamplerConfig, SolverConfig
+from detectorch_tpu.models.detector import init_params
+from detectorch_tpu.ops.anchors import shifted_anchors
+from detectorch_tpu.ops.boxes import bbox_transform_inv_np
+from detectorch_tpu.train import e2e as E
+
+
+def test_random_keep_mask(rng):
+    mask = jnp.asarray(rng.rand(200) > 0.4)
+    key = jax.random.PRNGKey(0)
+    kept = np.asarray(E.random_keep_mask(mask, 17, key))
+    assert kept.sum() == 17
+    assert not (kept & ~np.asarray(mask)).any()  # subset of mask
+    # k >= population keeps everything
+    kept_all = np.asarray(E.random_keep_mask(mask, 10_000, key))
+    np.testing.assert_array_equal(kept_all, np.asarray(mask))
+    # deterministic under the same key
+    again = np.asarray(E.random_keep_mask(mask, 17, key))
+    np.testing.assert_array_equal(kept, again)
+
+
+def _np_rpn_labels(anchors, gts, im_h, im_w):
+    """Upstream roi_data/rpn.py _get_rpn_blobs label assignment (no
+    subsampling), straddle_thresh=0, in plain numpy."""
+    inside = (
+        (anchors[:, 0] >= 0) & (anchors[:, 1] >= 0)
+        & (anchors[:, 2] < im_w) & (anchors[:, 3] < im_h)
+    )
+    ia = np.where(inside)[0]
+    labels = np.full(len(anchors), -1, np.int64)
+    if len(ia) and len(gts):
+        a = anchors[ia]
+        ov = np.zeros((len(a), len(gts)))
+        for j, g in enumerate(gts):
+            iw = np.minimum(a[:, 2], g[2]) - np.maximum(a[:, 0], g[0]) + 1
+            ih = np.minimum(a[:, 3], g[3]) - np.maximum(a[:, 1], g[1]) + 1
+            inter = np.maximum(iw, 0) * np.maximum(ih, 0)
+            ua = ((a[:, 2] - a[:, 0] + 1) * (a[:, 3] - a[:, 1] + 1)
+                  + (g[2] - g[0] + 1) * (g[3] - g[1] + 1) - inter)
+            ov[:, j] = inter / ua
+        anchor_max = ov.max(1)
+        gt_max = ov.max(0)
+        pos = (anchor_max >= 0.7) | (ov == gt_max[None, :]).any(1) & (
+            ov.max(1) > 0
+        )
+        # the tie rule only applies where the per-gt max is > 0
+        pos = (anchor_max >= 0.7)
+        for j in range(len(gts)):
+            if gt_max[j] > 0:
+                pos |= ov[:, j] == gt_max[j]
+        labels[ia[pos]] = 1
+        labels[ia[(anchor_max < 0.3) & ~pos]] = 0
+    return labels
+
+
+def test_rpn_targets_match_numpy_semantics(rng):
+    anchors = shifted_anchors(8, 10, 16.0, (64.0, 128.0), (0.5, 1.0, 2.0))
+    im_h, im_w = 128.0, 160.0
+    gts = np.array(
+        [[10, 10, 70, 70], [40, 30, 150, 120], [100, 5, 140, 40]], np.float64
+    )
+    gpad = np.zeros((8, 4), np.float32)
+    gpad[:3] = gts
+    gvalid = np.zeros(8, bool)
+    gvalid[:3] = True
+
+    # batch_size huge -> no subsampling: the raw label assignment must match
+    labels, targets = E.rpn_targets(
+        jnp.asarray(anchors, jnp.float32), jnp.asarray(gpad),
+        jnp.asarray(gvalid), im_h, im_w, jax.random.PRNGKey(1),
+        batch_size=10**6, fg_fraction=0.5,
+    )
+    labels = np.asarray(labels)
+    exp = _np_rpn_labels(np.asarray(anchors, np.float64), gts, im_h, im_w)
+    np.testing.assert_array_equal(labels, exp)
+    assert (labels == 1).sum() > 0 and (labels == 0).sum() > 0
+
+    # targets on positive anchors = transform to the argmax gt
+    pos = np.where(labels == 1)[0]
+    got_t = np.asarray(targets)[pos]
+    # recompute assignment in numpy for the positives
+    a = np.asarray(anchors, np.float64)[pos]
+    ious = np.stack([
+        np.asarray([_iou(b, g) for g in gts]) for b in a
+    ])
+    assign = gts[ious.argmax(1)]
+    exp_t = bbox_transform_inv_np(a, assign, (1.0, 1.0, 1.0, 1.0))
+    np.testing.assert_allclose(got_t, exp_t, rtol=1e-4, atol=1e-4)
+
+    # subsampling honors the caps
+    labels2, _ = E.rpn_targets(
+        jnp.asarray(anchors, jnp.float32), jnp.asarray(gpad),
+        jnp.asarray(gvalid), im_h, im_w, jax.random.PRNGKey(2),
+        batch_size=16, fg_fraction=0.5,
+    )
+    labels2 = np.asarray(labels2)
+    assert (labels2 == 1).sum() <= 8
+    assert (labels2 >= 0).sum() == 16
+    assert set(np.where(labels2 == 1)[0]) <= set(np.where(exp == 1)[0])
+    assert set(np.where(labels2 == 0)[0]) <= set(np.where(exp == 0)[0])
+
+
+def _iou(a, g):
+    iw = min(a[2], g[2]) - max(a[0], g[0]) + 1
+    ih = min(a[3], g[3]) - max(a[1], g[1]) + 1
+    inter = max(iw, 0) * max(ih, 0)
+    u = ((a[2] - a[0] + 1) * (a[3] - a[1] + 1)
+         + (g[2] - g[0] + 1) * (g[3] - g[1] + 1) - inter)
+    return inter / u
+
+
+def test_sample_rois_device_semantics(rng):
+    from tests.test_reference_oracles import _rand_boxes
+
+    props = _rand_boxes(rng, 120, 200, 260).astype(np.float32)
+    pvalid = np.ones(120, bool)
+    pvalid[110:] = False
+    gts = np.array([[20, 20, 90, 90], [120, 60, 200, 180]], np.float32)
+    gpad = np.zeros((6, 4), np.float32)
+    gpad[:2] = gts
+    gvalid = np.zeros(6, bool)
+    gvalid[:2] = True
+    gcls = np.zeros(6, np.int32)
+    gcls[:2] = [3, 7]
+
+    cfg = SamplerConfig(rois_per_image=32)
+    out = E.sample_rois_device(
+        jnp.asarray(props), jnp.asarray(pvalid), jnp.asarray(gpad),
+        jnp.asarray(gcls), jnp.asarray(gvalid), jax.random.PRNGKey(4), cfg,
+    )
+    rois = np.asarray(out.rois)
+    labels = np.asarray(out.labels)
+    valid = np.asarray(out.valid)
+    targets = np.asarray(out.targets)
+
+    assert rois.shape == (32, 4) and valid.any()
+    fg = labels > 0
+    # fg rows first
+    assert not (fg[1:] & ~fg[:-1]).any() or fg[0]
+    assert fg.sum() <= round(0.25 * 32)
+    # every fg roi really has IoU >= 0.5 with its labeled gt class's box
+    for i in np.where(fg)[0]:
+        ious = [_iou(rois[i], g) for g in gts]
+        j = int(np.argmax(ious))
+        assert ious[j] >= 0.5
+        assert labels[i] == gcls[j]
+        exp = bbox_transform_inv_np(
+            rois[i:i + 1].astype(np.float64), gts[j:j + 1].astype(np.float64),
+            (10.0, 10.0, 5.0, 5.0),
+        )[0]
+        np.testing.assert_allclose(targets[i, 1:], exp, rtol=1e-3, atol=1e-3)
+    # every valid bg roi has IoU < 0.5
+    for i in np.where(valid & ~fg)[0]:
+        assert max(_iou(rois[i], g) for g in gts) < 0.5
+    # the two gt boxes themselves are in the pool and should be sampled fg
+    # (they tie IoU 1.0) unless the fg cap displaced them — with cap 8 and
+    # few >=0.5 proposals that cannot happen here
+    for g in gts:
+        assert (np.abs(rois[fg] - g).max(axis=1) < 1e-4).any()
+
+
+def _tiny_gt_batch():
+    gt = np.zeros((1, 8, 4), np.float32)
+    gt[0, 0] = [8, 8, 40, 44]
+    gt[0, 1] = [30, 20, 70, 60]
+    gcls = np.zeros((1, 8), np.int32)
+    gcls[0, :2] = [1, 2]
+    gvalid = np.zeros((1, 8), bool)
+    gvalid[0, :2] = True
+    return gt, gcls, gvalid
+
+
+def test_e2e_train_step_c4_overfits(rng):
+    cfg = PRESETS["e2e_faster_rcnn_R-50-C4_2x"].replace(compute_dtype="float32")
+    params = init_params(cfg, seed=0)
+    solver = SolverConfig(base_lr=2e-4, warmup_iters=0, weight_decay=0.0)
+    init_state, make_step = E.make_e2e_train_step(
+        cfg, solver, SamplerConfig(rois_per_image=32), seed=5,
+        train_pre_nms=300, train_post_nms=64,
+    )
+    state, tx = init_state(params)
+    step = jax.jit(make_step(tx))
+
+    image = rng.randn(64, 80, 3).astype(np.float32)
+    gt, gcls, gvalid = _tiny_gt_batch()
+    batch = {
+        "image": image[None],
+        "gt_boxes": gt,
+        "gt_classes": gcls,
+        "gt_valid": gvalid,
+        "info": np.asarray([[64.0, 80.0, 1.0]], np.float32),
+    }
+    before = np.asarray(state.params["conv_rpn_w"]).copy()
+    totals = []
+    for _ in range(6):
+        state, metrics = step(state, batch)
+        totals.append(float(metrics["loss"]))
+        for k in ("loss_rpn_cls", "loss_rpn_bbox", "loss_cls", "loss_bbox"):
+            assert np.isfinite(float(metrics[k])), k
+    assert totals[-1] < totals[0]  # overfits one batch
+    after = np.asarray(state.params["conv_rpn_w"])
+    assert np.abs(before - after).max() > 0  # RPN head received gradient
+
+
+def test_e2e_train_step_fpn_runs(rng):
+    cfg = PRESETS["e2e_faster_rcnn_R-50-FPN_2x"].replace(compute_dtype="float32")
+    params = init_params(cfg, seed=1)
+    init_state, make_step = E.make_e2e_train_step(
+        cfg, SolverConfig(base_lr=1e-4, warmup_iters=0, weight_decay=0.0),
+        SamplerConfig(rois_per_image=32), seed=6,
+        train_pre_nms=200, train_post_nms=64,
+    )
+    state, tx = init_state(params)
+    step = jax.jit(make_step(tx))
+    image = rng.randn(64, 128, 3).astype(np.float32)  # /64-divisible
+    gt, gcls, gvalid = _tiny_gt_batch()
+    batch = {
+        "image": image[None],
+        "gt_boxes": gt,
+        "gt_classes": gcls,
+        "gt_valid": gvalid,
+        "info": np.asarray([[64.0, 128.0, 1.0]], np.float32),
+    }
+    before = np.asarray(state.params["conv_rpn_fpn2_w"]).copy()
+    state, metrics = step(state, batch)
+    for k in ("loss", "loss_rpn_cls", "loss_rpn_bbox", "loss_cls",
+              "loss_bbox"):
+        assert np.isfinite(float(metrics[k])), k
+    after = np.asarray(state.params["conv_rpn_fpn2_w"])
+    assert np.abs(before - after).max() > 0

@@ -61,10 +61,20 @@ def parse_args():
                         "mask head with polys_to_mask_wrt_box targets "
                         "(upstream Detectron mask training; the reference "
                         "repo trains boxes only)")
+    p.add_argument("--e2e", action="store_true",
+                   help="END-TO-END Faster R-CNN training: RPN + box head "
+                        "jointly, anchor targets and roi sampling computed "
+                        "inside the jitted step from the gt boxes alone "
+                        "(no proposal file; upstream Detectron e2e "
+                        "semantics — the reference cannot train its e2e "
+                        "presets at all)")
     args = p.parse_args()
-    if args.masks and args.keypoints:
-        p.error("--masks and --keypoints are mutually exclusive presets")
-    if not args.keypoints and not args.masks and not args.proposals:
+    if sum([args.masks, args.keypoints, args.e2e]) > 1:
+        p.error("--masks/--keypoints/--e2e are mutually exclusive modes")
+    if args.e2e and args.device_preprocess:
+        p.error("--e2e currently uses the host-blob input path")
+    if (not args.keypoints and not args.masks and not args.e2e
+            and not args.proposals):
         # Fast R-CNN needs hard negatives from precomputed proposals;
         # gt-only training is a keypoint/mask-mode choice, not a silent
         # default for the plain box preset
@@ -97,6 +107,9 @@ def main():
 
     if args.keypoints:
         preset = "e2e_keypoint_rcnn_R-50-FPN_1x"
+    elif args.e2e:
+        preset = ("e2e_faster_rcnn_R-50-FPN_2x" if args.fpn
+                  else "e2e_faster_rcnn_R-50-C4_2x")
     elif args.masks:
         preset = ("e2e_mask_rcnn_R-50-FPN_2x" if args.fpn
                   else "e2e_mask_rcnn_R-50-C4_2x")
@@ -127,10 +140,17 @@ def main():
         print("loaded base CNN weights", flush=True)
 
     blob_hw = tuple(args.blob)  # one fixed training bucket -> one program
-    init_state, make_step = make_train_step(
-        cfg, solver, device_input=args.device_preprocess, blob_hw=blob_hw,
-        train_mask=args.masks,
-    )
+    if args.e2e:
+        from detectorch_tpu.train.e2e import make_e2e_train_step
+
+        init_state, make_step = make_e2e_train_step(
+            cfg, solver, sampler_cfg, seed=args.seed
+        )
+    else:
+        init_state, make_step = make_train_step(
+            cfg, solver, device_input=args.device_preprocess, blob_hw=blob_hw,
+            train_mask=args.masks,
+        )
     state, tx = init_state(params)
     step_fn = jax.jit(make_step(tx))
 
@@ -168,7 +188,43 @@ def main():
               f"{batch_size * blob_hw[0] * blob_hw[1] * 3 * 4 / 1e6:.1f} MB "
               "fp32 blobs)", flush=True)
 
+    # one fixed gt capacity -> one compiled program (COCO max ~93/img)
+    gt_pad = 128
+
+    def make_batch_e2e():
+        batch = {k: [] for k in
+                 ["image", "gt_boxes", "gt_classes", "gt_valid", "info"]}
+        for _ in range(batch_size):
+            e = roidb[rng.randint(len(roidb))]
+            im = T.load_image_rgb(e.file_path)
+            if e.flipped:
+                im = im[:, ::-1]
+            image, scale, _ = T.preprocess_image(
+                im, test_cfg.target_size, test_cfg.max_size,
+                buckets=(blob_hw,),
+            )
+            gi = np.where(e.gt_classes > 0)[0][:gt_pad]
+            gb = np.zeros((gt_pad, 4), np.float32)
+            gc = np.zeros(gt_pad, np.int32)
+            gv = np.zeros(gt_pad, bool)
+            gb[: len(gi)] = e.boxes[gi] * scale
+            gc[: len(gi)] = e.gt_classes[gi]
+            gv[: len(gi)] = True
+            batch["image"].append(image)
+            batch["gt_boxes"].append(gb)
+            batch["gt_classes"].append(gc)
+            batch["gt_valid"].append(gv)
+            batch["info"].append(np.asarray(
+                [round(e.height * scale), round(e.width * scale), scale],
+                np.float32))
+        return {
+            k: jax.device_put(np.stack(v), data_sharding)
+            for k, v in batch.items()
+        }
+
     def make_batch():
+        if args.e2e:
+            return make_batch_e2e()
         if args.device_preprocess:
             batch = {k: [] for k in ["raw", "tables", "meta", "rois",
                                      "labels", "bbox_targets_compact",
@@ -272,7 +328,9 @@ def main():
         stats.iter_toc()
         loss_keys = ("loss", "loss_cls", "loss_bbox") + (
             ("loss_kps",) if args.keypoints else ()
-        ) + (("loss_mask",) if args.masks else ())
+        ) + (("loss_mask",) if args.masks else ()) + (
+            ("loss_rpn_cls", "loss_rpn_bbox") if args.e2e else ()
+        )
         stats.update_iter_stats(
             it,
             {k: metrics[k] for k in loss_keys},
