@@ -153,3 +153,26 @@ def prepare_raw(
         "orig_h": h, "orig_w": w,
     }
     return raw, meta
+
+
+def pack_tables_meta(m) -> Tuple[np.ndarray, np.ndarray]:
+    """Pack `prepare_raw`'s resize tables + metadata into ONE (4, L) f32
+    array (rows y_i0/y_w1/x_i0/x_w1) and ONE 7-vector
+    (raw_h, raw_w, rsz_h, rsz_w, scale, orig_h, orig_w).
+
+    This layout is a cross-module contract: `device_preprocess` (and the
+    engine's `_scale_of`, which reads meta[4]) consume exactly these row
+    and element positions. Every separate device argument costs a full
+    transfer RPC on an RPC-floored link, and index tables stored as f32
+    are exact below 2^24."""
+    t = m["tables"]
+    L = max(m["out_h"], m["out_w"])
+    tables = np.zeros((4, L), np.float32)
+    tables[0, : m["out_h"]] = t["y_i0"]
+    tables[1, : m["out_h"]] = t["y_w1"]
+    tables[2, : m["out_w"]] = t["x_i0"]
+    tables[3, : m["out_w"]] = t["x_w1"]
+    meta = np.asarray(
+        [m["raw_h"], m["raw_w"], m["rsz_h"], m["rsz_w"],
+         m["scale"], m["orig_h"], m["orig_w"]], np.float32)
+    return tables, meta

@@ -104,13 +104,15 @@ def preprocess_image_pyramid(
     one (padded image, scale) per target size. Buckets default to exact
     ceil-to-stride padding since pyramid levels span many shapes.
 
-    Parity note: this capability is LATENT in the reference too —
+    Parity note: this capability is LATENT in the reference —
     `prep_im_for_blob` accepts a target_sizes list, but every notebook and
-    script passes exactly one size, and the repo contains no cross-scale
-    detection merging (no TEST.BBOX_AUG equivalent). We mirror that state:
-    the pyramid preprocess exists and is tested, and nothing in the engine
-    consumes more than one scale. Wiring multi-scale *inference* would
-    require inventing merge semantics the reference does not define."""
+    script passes exactly one size, and its repo contains no cross-scale
+    detection merging (no TEST.BBOX_AUG equivalent). We go further: the
+    engine consumes this pyramid via
+    `InferenceEngine.run_image_multiscale` (upstream Detectron
+    TEST.BBOX_AUG union semantics — per-scale programs, one reference NMS
+    over the union), reachable as `evaluate_dataset(target_sizes=[...])`
+    / `tools/eval_coco.py --target-sizes`."""
     out = []
     for ts in target_sizes:
         out.append(

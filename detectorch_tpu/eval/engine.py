@@ -176,27 +176,15 @@ class InferenceEngine:
         target_size overrides test_cfg.target_size (multi-scale inference)."""
         ts = self.test_cfg.target_size if target_size is None else target_size
         if self.test_cfg.device_preprocess:
-            from detectorch_tpu.data.device_input import prepare_raw
+            from detectorch_tpu.data.device_input import (
+                pack_tables_meta, prepare_raw)
 
             raw, m = prepare_raw(
                 im_rgb, ts, self.test_cfg.max_size,
                 pad_stride=self._pad_stride(), buckets=self._buckets(),
             )
             scale, oh, ow = m["scale"], m["orig_h"], m["orig_w"]
-            t = m["tables"]
-            # pack into host-side numpy: raw + ONE tables array + ONE meta
-            # vector (index tables as f32 are exact below 2^24); every
-            # separate device argument costs a full transfer RPC
-            L = max(m["out_h"], m["out_w"])
-            tables = np.zeros((4, L), np.float32)
-            tables[0, : m["out_h"]] = t["y_i0"]
-            tables[1, : m["out_h"]] = t["y_w1"]
-            tables[2, : m["out_w"]] = t["x_i0"]
-            tables[3, : m["out_w"]] = t["x_w1"]
-            meta = np.asarray(
-                [m["raw_h"], m["raw_w"], m["rsz_h"], m["rsz_w"],
-                 scale, oh, ow], np.float32,
-            )
+            tables, meta = pack_tables_meta(m)
             args = [self.params, raw, tables, meta]
         else:
             image, scale, (oh, ow) = T.preprocess_image(
@@ -231,7 +219,7 @@ class InferenceEngine:
         """Exactness check + collect: if the fast program flagged a Pallas
         slab overflow, re-run this image through the exact variant."""
         if self._needs_exact_check():
-            if not bool(np.asarray(out.roi_align_exact)):
+            if not bool(np.asarray(out.all_exact)):
                 out = self._exact_fn(self.sample_key(args))(*args)
         return self._collect(out, oh, ow)
 
@@ -333,9 +321,11 @@ class InferenceEngine:
             TEST.SCALE on the final boxes).
 
         With target_sizes == [test_cfg.target_size] this reduces exactly to
-        run_image (tested). Exactness reruns (Pallas slab / NMS prefilter
-        overflow) apply per scale, and the merge itself always uses the
-        full-width NMS."""
+        run_image (tested). Pallas-slab exactness reruns apply per scale
+        (checked against the pure `roi_align_exact` flag — the box-branch
+        features feed the merged scores); an NMS-prefilter overflow does
+        NOT trigger a per-scale rerun, because the merge consumes only the
+        pre-NMS candidates and always redoes NMS at full width."""
         assert len(target_sizes) >= 1
         per_scale = []
         oh = ow = None
@@ -434,7 +424,7 @@ class BatchedInferenceEngine:
                 out = vf(*args)
                 d = out.detections
                 exact = (
-                    out.roi_align_exact
+                    out.all_exact
                     if self._single._needs_exact_check()
                     else jnp.ones(d.scores.shape[0], jnp.bool_)
                 )
@@ -609,6 +599,16 @@ def evaluate_dataset(
         roidb = dataset.get_roidb(gt=False)
     if limit:
         roidb = roidb[:limit]
+
+    # a single-element target_sizes list is single-scale eval at that size,
+    # not the pyramid path: fold it into test_cfg BEFORE building engines so
+    # the override actually reaches preprocess (a bare engine.preprocess call
+    # would otherwise silently use the default target_size)
+    if target_sizes is not None:
+        target_sizes = list(target_sizes)
+        if len(target_sizes) == 1:
+            test_cfg = test_cfg.replace(target_size=target_sizes[0])
+            target_sizes = None
 
     from detectorch_tpu.data.loader import PrefetchLoader
 

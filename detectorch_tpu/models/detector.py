@@ -74,6 +74,10 @@ class ModelOutputs(NamedTuple):
                                        # the Pallas slab (engine re-runs exact)
     keypoints: Optional[jax.Array] = None  # (K, P, 4) [x, y, logit, prob]
                                            # decoded keypoints, or None
+    all_exact: jax.Array = True  # () bool: roi_align_exact AND
+                                 # detections.nms_exact — ONE fetchable
+                                 # scalar for whole-result exactness
+                                 # (each fetch is a full RPC on a tunnel)
 
 
 def _fpn_level_proposals(params, cfg: ModelConfig, pyramid, im_h, im_w, im_scale):
@@ -239,10 +243,11 @@ def make_inference_fn(
             cls_scores, bbox_deltas, rois, roi_valid,
             im_scale, orig_h, orig_w, test_cfg, cfg.num_classes,
         )
-        # roi_align_exact doubles as the general "result is exact" flag:
-        # the NMS top-k prefilter overflow (dets.nms_exact False) routes
-        # through the same engine rerun as a Pallas slab overflow
-        align_exact = align_exact & dets.nms_exact
+        # roi_align_exact stays RoIAlign-only; the NMS top-k prefilter
+        # overflow travels separately as detections.nms_exact so consumers
+        # that redo NMS themselves (the multi-scale union merge) can skip
+        # a needless full rerun. Engines needing whole-result exactness
+        # check `roi_align_exact & detections.nms_exact`.
 
         # --- mask branch (on final detections, reference demo flow) ------
         masks = None
@@ -308,6 +313,7 @@ def make_inference_fn(
             bbox_deltas=bbox_deltas,
             roi_align_exact=align_exact,
             keypoints=keypoints,
+            all_exact=align_exact & dets.nms_exact,
         )
 
     return forward

@@ -106,9 +106,8 @@ def rpn_losses(cls_logits, bbox_pred, labels, targets,
     cls_logits (A,); bbox_pred (A, 4); labels (A,) {-1,0,1}; targets (A, 4).
     """
     sampled = labels >= 0
-    t = (labels == 1).astype(jnp.float32)
-    x = cls_logits.astype(jnp.float32)
-    per = jnp.maximum(x, 0.0) - x * t + jnp.log1p(jnp.exp(-jnp.abs(x)))
+    per = losses.sigmoid_cross_entropy_with_logits(
+        cls_logits, (labels == 1).astype(jnp.float32))
     n = jnp.maximum(sampled.sum().astype(jnp.float32), 1.0)
     loss_cls = jnp.sum(jnp.where(sampled, per, 0.0)) / n
 
@@ -276,7 +275,9 @@ def e2e_losses(params, cfg: ModelConfig, sampler_cfg: SamplerConfig,
                 feat_stride=float(2 ** lvl),
                 anchor_sizes=(32.0 * 2 ** (lvl - 2),),
                 anchor_aspect_ratios=tuple(cfg.anchors.aspect_ratios),
-                pre_nms_top_n=min(train_pre_nms, fh * fw * 3),
+                pre_nms_top_n=min(
+                    train_pre_nms,
+                    fh * fw * len(cfg.anchors.aspect_ratios)),
                 post_nms_top_n=train_post_nms,
                 nms_thresh=cfg.rpn.nms_thresh,
                 min_size=cfg.rpn.min_size,
@@ -287,8 +288,10 @@ def e2e_losses(params, cfg: ModelConfig, sampler_cfg: SamplerConfig,
                 feat_stride=1.0 / cfg.spatial_scale,
                 anchor_sizes=tuple(cfg.anchors.sizes),
                 anchor_aspect_ratios=tuple(cfg.anchors.aspect_ratios),
-                pre_nms_top_n=min(train_pre_nms,
-                                  fh * fw * len(cfg.anchors.sizes) * 3),
+                pre_nms_top_n=min(
+                    train_pre_nms,
+                    fh * fw * len(cfg.anchors.sizes)
+                    * len(cfg.anchors.aspect_ratios)),
                 post_nms_top_n=train_post_nms,
                 nms_thresh=cfg.rpn.nms_thresh,
                 min_size=cfg.rpn.min_size,

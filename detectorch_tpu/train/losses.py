@@ -25,6 +25,14 @@ def smooth_l1(
     return jnp.sum(per_elem) / n
 
 
+def sigmoid_cross_entropy_with_logits(logits, targets):
+    """Numerically-stable element-wise sigmoid BCE in float32:
+    max(x, 0) - x*t + log1p(exp(-|x|))."""
+    x = logits.astype(jnp.float32)
+    t = targets.astype(jnp.float32)
+    return jnp.maximum(x, 0.0) - x * t + jnp.log1p(jnp.exp(-jnp.abs(x)))
+
+
 def softmax_cross_entropy(logits, labels, valid=None):
     """Mean CE over (valid) rows — torch F.cross_entropy semantics with int
     labels (train_fast.py:147)."""
@@ -73,13 +81,8 @@ def mask_loss(mask_logits, mask_targets, labels, mask_valid):
     cls_logits = jnp.take_along_axis(
         mask_logits, labels[:, None, None, None].astype(jnp.int32), axis=-1
     )[..., 0].astype(jnp.float32)                       # (Rf, M, M)
-    t = mask_targets.astype(jnp.float32)
-    # numerically-stable BCE with logits
-    per_pix = (
-        jnp.maximum(cls_logits, 0.0)
-        - cls_logits * t
-        + jnp.log1p(jnp.exp(-jnp.abs(cls_logits)))
-    )
+    per_pix = sigmoid_cross_entropy_with_logits(cls_logits, mask_targets)
     w = mask_valid.astype(jnp.float32)[:, None, None]
-    denom = jnp.maximum(jnp.sum(w) * t.shape[1] * t.shape[2], 1.0)
+    denom = jnp.maximum(
+        jnp.sum(w) * mask_targets.shape[1] * mask_targets.shape[2], 1.0)
     return jnp.sum(per_pix * w) / denom

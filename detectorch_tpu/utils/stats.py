@@ -63,13 +63,18 @@ class TrainingStats:
 
     def update_iter_stats(self, cur_iter: int, losses: dict, metrics: dict):
         self.cur_iter = cur_iter
-        for k, v in losses.items():
-            self.smoothed_losses[k].add_value(float(v))
+        vals = {k: float(v) for k, v in losses.items()}
+        # headline total: the caller's own 'loss' entry verbatim when given
+        # (summing it with its components would double-count), else the sum
+        # of the components
+        total = vals.pop("loss", None)
+        if total is None:
+            total = float(np.sum(list(vals.values()))) if vals else 0.0
+        for k, v in vals.items():
+            self.smoothed_losses[k].add_value(v)
         for k, v in metrics.items():
             self.smoothed_metrics[k].add_value(float(v))
-        self.smoothed_total_loss.add_value(
-            float(np.sum([float(v) for v in losses.values()]))
-        )
+        self.smoothed_total_loss.add_value(total)
 
     def get_stats(self, cur_iter: int, lr: float) -> dict:
         eta_seconds = self.iter_timer.average_time * (self.max_iter - cur_iter)

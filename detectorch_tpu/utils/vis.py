@@ -214,7 +214,9 @@ def vis_one_image_matplotlib(
     scores,
     classes,
     rles=None,
+    keypoints=None,
     thresh: float = 0.7,
+    kp_thresh: float = 2.0,
     output_dir: Optional[str] = None,
     im_name: str = "image",
     ext: str = "pdf",
@@ -250,6 +252,16 @@ def vis_one_image_matplotlib(
     if rles is not None and len(rles):
         masks = np.stack([rle_mod.decode(r) for r in rles], axis=2)
     color_list = colormap(rgb=True) / 255.0
+
+    if keypoints is not None:
+        # skeletons share the cv2 raster path (one source of truth for the
+        # skeleton semantics; the reference's matplotlib keypoint code is
+        # commented out, vis.py:198-248) — blend them into the backdrop
+        # before the vector overlays
+        img_rgb = np.asarray(img_rgb).astype(np.uint8, copy=True)
+        for i in range(len(boxes)):
+            if scores[i] >= thresh and i < len(keypoints):
+                img_rgb = vis_keypoints(img_rgb, keypoints[i], kp_thresh)
 
     fig = plt.figure(frameon=False)
     fig.set_size_inches(img_rgb.shape[1] / dpi, img_rgb.shape[0] / dpi)

@@ -89,6 +89,33 @@ def test_batched_eval_matches_single(tiny_coco, rng):
         np.testing.assert_allclose(r1["bbox"], r2["bbox"], rtol=1e-4, atol=1e-3)
 
 
+def test_eval_single_element_target_sizes_folds(tiny_coco, rng):
+    """evaluate_dataset(target_sizes=[s]) is single-scale eval AT SIZE s:
+    the 1-element list must fold into test_cfg.target_size before engines
+    are built (a bare engine.preprocess call would silently use the
+    default size — the bug this test pins)."""
+    ann, imdir = tiny_coco
+    ds = CocoDataset(ann, imdir)
+    cfg = PRESETS["e2e_faster_rcnn_R-50-FPN_2x"].replace(compute_dtype="float32")
+    cfg = cfg.replace(rpn=cfg.rpn.__class__(pre_nms_top_n=100, post_nms_top_n=20))
+    tcfg = TestConfig(target_size=64, max_size=96, detections_per_img=5,
+                      score_thresh=0.0)
+    params = init_params(cfg, seed=0)
+    _, _, via_list = evaluate_dataset(
+        cfg, tcfg, params, ds, verbose=False, target_sizes=[48]
+    )
+    _, _, via_cfg = evaluate_dataset(
+        cfg, tcfg.replace(target_size=48), params, ds, verbose=False
+    )
+    assert len(via_list["bbox"]) == len(via_cfg["bbox"])
+    a = sorted(via_list["bbox"], key=lambda r: (r["image_id"], -r["score"]))
+    b = sorted(via_cfg["bbox"], key=lambda r: (r["image_id"], -r["score"]))
+    for r1, r2 in zip(a, b):
+        assert r1["image_id"] == r2["image_id"]
+        assert r1["category_id"] == r2["category_id"]
+        np.testing.assert_allclose(r1["bbox"], r2["bbox"], rtol=1e-5)
+
+
 def test_mask_rcnn_eval_loop(tiny_coco, rng):
     ann, imdir = tiny_coco
     ds = CocoDataset(ann, imdir)
@@ -284,7 +311,11 @@ def test_engine_exact_rerun_on_nms_prefilter_overflow(tiny_coco, rng):
     assert fast._needs_exact_check()
     args, oh, ow = fast.preprocess(im)
     out = fast.submit(args)
-    assert not bool(np.asarray(out.roi_align_exact))  # prefilter overflowed
+    # prefilter overflow travels on nms_exact/all_exact; the pure RoIAlign
+    # flag stays True (no Pallas slab involved here)
+    assert not bool(np.asarray(out.detections.nms_exact))
+    assert not bool(np.asarray(out.all_exact))
+    assert bool(np.asarray(out.roi_align_exact))
     res = fast.finalize(out, args, oh, ow)
 
     exact = InferenceEngine(cfg, base, params)

@@ -89,6 +89,34 @@ def test_matplotlib_renderer_saves(dets, tmp_path, ext):
             assert f.read(5) == b"%PDF-"
 
 
+def test_matplotlib_renderer_draws_keypoints(dets, tmp_path):
+    """The matplotlib backend renders keypoint skeletons too (demo parity
+    with the cv2 backend): passing keypoints must change the raster."""
+    img, boxes, scores, classes, rles = dets
+    # person-keypoint payload: (N, 17, 4) rows [x, y, logit, prob], all
+    # confidently above kp_thresh, spread inside each box
+    rng = np.random.RandomState(7)
+    kps = np.zeros((len(boxes), 17, 4), np.float32)
+    for i, (x1, y1, x2, y2) in enumerate(boxes):
+        kps[i, :, 0] = rng.uniform(x1, x2, 17)
+        kps[i, :, 1] = rng.uniform(y1, y2, 17)
+        kps[i, :, 2] = 10.0
+        kps[i, :, 3] = 0.99
+    with_kp = vis_one_image_matplotlib(
+        img, boxes, scores, classes, rles, kps, thresh=0.5,
+        output_dir=str(tmp_path), im_name="kp", ext="png",
+    )
+    without = vis_one_image_matplotlib(
+        img, boxes, scores, classes, rles, thresh=0.5,
+        output_dir=str(tmp_path), im_name="nokp", ext="png",
+    )
+    import cv2
+
+    a = cv2.imread(with_kp)
+    b = cv2.imread(without)
+    assert a.shape == b.shape and (a != b).any()
+
+
 def test_matplotlib_below_thresh_writes_nothing(dets, tmp_path):
     img, boxes, scores, classes, rles = dets
     saved = vis_one_image_matplotlib(

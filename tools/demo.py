@@ -57,7 +57,7 @@ def main():
         stem, ext = os.path.splitext(args.out)
         saved = vis_one_image_matplotlib(
             im, res["boxes"], res["scores"], res["classes"],
-            res.get("rles"), thresh=args.thresh,
+            res.get("rles"), res.get("keypoints"), thresh=args.thresh,
             output_dir=os.path.dirname(args.out) or ".",
             im_name=os.path.basename(stem), ext=(ext.lstrip(".") or "pdf"),
         )

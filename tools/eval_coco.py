@@ -95,9 +95,7 @@ def main():
         [int(s) for s in args.target_sizes.split(",")]
         if args.target_sizes else None
     )
-    if sizes and len(sizes) == 1:
-        test_cfg = test_cfg.replace(target_size=sizes[0])
-        sizes = None
+    # evaluate_dataset folds a 1-element list into test_cfg.target_size
     bbox_stats, segm_stats, info = evaluate_dataset(
         cfg, test_cfg, params, ds, roidb=roidb, limit=args.limit,
         batch_size=args.batch,

@@ -178,7 +178,8 @@ def main():
     stats = TrainingStats(args.max_iter, args.log_period)
 
     if args.device_preprocess:
-        from detectorch_tpu.data.device_input import RAW_STRIDE, prepare_raw
+        from detectorch_tpu.data.device_input import (
+            RAW_STRIDE, pack_tables_meta, prepare_raw)
 
         # one fixed raw bucket (padded original dims) keeps a single program
         raw_h = max(-(-e.height // RAW_STRIDE) * RAW_STRIDE for e in roidb)
@@ -203,7 +204,9 @@ def main():
                 im, test_cfg.target_size, test_cfg.max_size,
                 buckets=(blob_hw,),
             )
-            gi = np.where(e.gt_classes > 0)[0][:gt_pad]
+            # crowd regions are never positive targets (upstream Detectron
+            # roi_data/rpn.py uses (gt_classes > 0) & (is_crowd == 0))
+            gi = np.where((e.gt_classes > 0) & (e.is_crowd == 0))[0][:gt_pad]
             gb = np.zeros((gt_pad, 4), np.float32)
             gc = np.zeros(gt_pad, np.int32)
             gv = np.zeros(gt_pad, bool)
@@ -246,16 +249,7 @@ def main():
                 )
                 rawp = np.zeros((raw_h, raw_w, 3), np.uint8)
                 rawp[: raw.shape[0], : raw.shape[1]] = raw
-                L = max(m["out_h"], m["out_w"])
-                tables = np.zeros((4, L), np.float32)
-                t = m["tables"]
-                tables[0, : m["out_h"]] = t["y_i0"]
-                tables[1, : m["out_h"]] = t["y_w1"]
-                tables[2, : m["out_w"]] = t["x_i0"]
-                tables[3, : m["out_w"]] = t["x_w1"]
-                meta = np.asarray(
-                    [m["raw_h"], m["raw_w"], m["rsz_h"], m["rsz_w"],
-                     m["scale"], m["orig_h"], m["orig_w"]], np.float32)
+                tables, meta = pack_tables_meta(m)
                 blobs = sample_rois(
                     e, m["scale"], rng, sampler_cfg, cfg.num_classes,
                     compact_targets=True,
