@@ -614,9 +614,13 @@ def evaluate_dataset(
 
     if engines is None:
         engines = {}
-    if "single" not in engines:
-        engines["single"] = InferenceEngine(cfg, test_cfg, params)
-    engine = engines["single"]
+    # key by target_size: a pre-warmed dict built at the default size must
+    # not silently serve a single-element target_sizes override (the fold
+    # above rewrites the LOCAL test_cfg only)
+    skey = ("single", test_cfg.target_size)
+    if skey not in engines:
+        engines[skey] = InferenceEngine(cfg, test_cfg, params)
+    engine = engines[skey]
 
     multiscale = target_sizes is not None and len(list(target_sizes)) > 1
     if multiscale and batch_size > 1:

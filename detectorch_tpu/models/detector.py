@@ -74,10 +74,14 @@ class ModelOutputs(NamedTuple):
                                        # the Pallas slab (engine re-runs exact)
     keypoints: Optional[jax.Array] = None  # (K, P, 4) [x, y, logit, prob]
                                            # decoded keypoints, or None
-    all_exact: jax.Array = True  # () bool: roi_align_exact AND
-                                 # detections.nms_exact — ONE fetchable
-                                 # scalar for whole-result exactness
-                                 # (each fetch is a full RPC on a tunnel)
+    all_exact: jax.Array = False  # () bool: roi_align_exact AND
+                                  # detections.nms_exact — ONE fetchable
+                                  # scalar for whole-result exactness
+                                  # (each fetch is a full RPC on a tunnel).
+                                  # Default is CONSERVATIVE: a construction
+                                  # site that forgets to set it triggers the
+                                  # engine's exact rerun instead of silently
+                                  # reporting exactness.
 
 
 def _fpn_level_proposals(params, cfg: ModelConfig, pyramid, im_h, im_w, im_scale):

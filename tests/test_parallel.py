@@ -129,3 +129,13 @@ def test_keypoint_train_step_sharded_equals_single(rng):
     for key in ("loss", "loss_cls", "loss_bbox", "loss_kps"):
         np.testing.assert_allclose(m_shard[key], m_single[key],
                                    rtol=2e-4, atol=1e-6)
+
+
+def test_init_distributed_from_env_noop(monkeypatch):
+    # single process, no coordinator env vars: a clean no-op (the multi-host
+    # DCN hook only joins a cluster when one is configured; SURVEY §2.3)
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+    assert M.init_distributed_from_env() is False
+    # jax must remain fully usable after the no-op
+    assert len(jax.devices()) >= 1
