@@ -125,6 +125,8 @@ class SampledRois(NamedTuple):
     labels: jax.Array    # (R,) int32 (0 = bg)
     targets: jax.Array   # (R, 5) compact [cls, tx, ty, tw, th]
     valid: jax.Array     # (R,) bool
+    gt_inds: jax.Array   # (R,) int32 assigned-gt row (argmax IoU; junk on
+                         # bg/padded rows — consumers gate on labels > 0)
 
 
 def sample_rois_device(
@@ -176,7 +178,97 @@ def sample_rois_device(
     compact = jnp.concatenate(
         [sel_labels[:, None].astype(jnp.float32), deltas], axis=1
     )
-    return SampledRois(sel_rois, sel_labels, compact, sel_valid)
+    return SampledRois(sel_rois, sel_labels, compact, sel_valid,
+                       amax[order].astype(jnp.int32))
+
+
+# Per-gt raster resolution for device-side mask targets and the matching
+# binarization threshold. Calibrated against the host oracle
+# (train/sampler.polys_to_mask_wrt_box on the sampled roi, upstream
+# Detectron's exact transform) over jittered fg rois on random polygons:
+# 56/0.15 maximises target IoU for both head resolutions (M=28: mean 0.963
+# / min 0.895; M=14: mean 0.918 / min 0.814 — the coarse M=14 grid itself
+# dominates there). Higher raster resolutions score WORSE at thr=0.5
+# because the pycocotools rasterizer dilates boundaries by ~half a pixel
+# AT ITS OWN resolution — the low threshold restores that dilation.
+# tests/test_e2e_train.py::test_mask_targets_device_match_host pins this.
+GT_RASTER_RES = 56
+GT_RASTER_THRESH = 0.15
+
+
+def mask_targets_device(gt_rasters, gt_boxes, gt_inds, rois,
+                        resolution: int,
+                        thresh: float = GT_RASTER_THRESH):
+    """Mask training targets for rois chosen INSIDE the jit.
+
+    The TPU-first replacement for upstream Detectron's host-side
+    ``polys_to_mask_wrt_box`` per sampled roi (roi_data/mask_rcnn.py): the
+    host rasterises each gt's polygons ONCE wrt its own gt box at
+    ``GT_RASTER_RES`` (a few KB per image, uploaded with the batch), and
+    the device crop-resizes the assigned gt's raster into each sampled
+    roi's frame — so roi sampling and target construction both live in the
+    jitted step with no host round trip.
+
+    gt_rasters (G, Mg, Mg) uint8/float {0,1} — polys_to_mask_wrt_box(
+    segm, gt_box, Mg) host-side; gt_boxes (G, 4) SAME coordinate frame as
+    rois; gt_inds (R,) int32 assigned gt per roi; rois (R, 4).
+    Returns (R, M, M) float32 {0,1}.
+    """
+    from jax.scipy import ndimage
+
+    mg = gt_rasters.shape[-1]
+    rast = gt_rasters[gt_inds].astype(jnp.float32)          # (R, Mg, Mg)
+    gb = gt_boxes[gt_inds]
+    gw = jnp.maximum(gb[:, 2] - gb[:, 0], 1.0)
+    gh = jnp.maximum(gb[:, 3] - gb[:, 1], 1.0)
+    rw = jnp.maximum(rois[:, 2] - rois[:, 0], 1.0)
+    rh = jnp.maximum(rois[:, 3] - rois[:, 1], 1.0)
+    # raster pixel j covers polygon coordinate ~[j, j+1) at its resolution
+    # (pycocotools rounds up-scaled coords), so index = normalised coord *
+    # Mg with NO half-pixel shift — the empirically-best convention (see
+    # calibration note above)
+    j = jnp.arange(resolution, dtype=jnp.float32) / resolution
+    xs = rois[:, 0:1] + j[None, :] * rw[:, None]            # (R, M)
+    ys = rois[:, 1:2] + j[None, :] * rh[:, None]
+    u = (xs - gb[:, 0:1]) * mg / gw[:, None]
+    v = (ys - gb[:, 1:2]) * mg / gh[:, None]
+
+    def crop(r, vv, uu):
+        yy = jnp.broadcast_to(vv[:, None], (resolution, resolution))
+        xx = jnp.broadcast_to(uu[None, :], (resolution, resolution))
+        # zero outside the gt box: the gt box is the polygon's tight
+        # bounding box, so the mask is identically 0 there
+        return ndimage.map_coordinates(r, [yy, xx], order=1,
+                                       mode="constant", cval=0.0)
+
+    vals = jax.vmap(crop)(rast, v, u)
+    return (vals >= thresh).astype(jnp.float32)
+
+
+def keypoint_labels_device(kps, rois, heatmap_size: int):
+    """Heatmap bin labels for rois chosen inside the jit — jnp mirror of
+    train/sampler.keypoints_to_heatmap_labels (upstream Detectron
+    keypoint_utils semantics) in fp32 instead of the host's float64.
+
+    kps (R, P, 3) [x, y, v] assigned-gt keypoints per roi, SAME coordinate
+    frame as rois; rois (R, 4). Returns (labels (R, P) int32 flat y*S + x,
+    valid (R, P) bool). Only a keypoint exactly ON the right/bottom roi
+    edge clamps into the last bin; strictly-outside and unlabeled (v == 0)
+    keypoints are invalid."""
+    s = float(heatmap_size)
+    off_x, off_y = rois[:, 0:1], rois[:, 1:2]
+    scale_x = s / jnp.maximum(rois[:, 2:3] - rois[:, 0:1], 1e-6)
+    scale_y = s / jnp.maximum(rois[:, 3:4] - rois[:, 1:2], 1e-6)
+    x_edge = kps[:, :, 0] == rois[:, 2:3]
+    y_edge = kps[:, :, 1] == rois[:, 3:4]
+    x = jnp.floor((kps[:, :, 0] - off_x) * scale_x)
+    y = jnp.floor((kps[:, :, 1] - off_y) * scale_y)
+    x = jnp.where(x_edge, s - 1.0, x)
+    y = jnp.where(y_edge, s - 1.0, y)
+    valid_loc = (x >= 0) & (y >= 0) & (x < s) & (y < s)
+    valid = valid_loc & (kps[:, :, 2] > 0)
+    labels = (y * s + x).astype(jnp.int32)
+    return jnp.where(valid, labels, 0), valid
 
 
 def _level_anchors(cfg: ModelConfig, shapes):
@@ -205,13 +297,25 @@ def _level_anchors(cfg: ModelConfig, shapes):
 def e2e_losses(params, cfg: ModelConfig, sampler_cfg: SamplerConfig,
                image, gt_boxes, gt_classes, gt_valid, info, key,
                rpn_batch_size: int = 256,
-               train_pre_nms: int = 12000, train_post_nms: int = 2000):
+               train_pre_nms: int = 12000, train_post_nms: int = 2000,
+               extras=None, fused_roi_align=None):
     """Single-image joint RPN + box-head loss; backbone runs ONCE.
 
     info: (3,) [resized_h, resized_w, im_scale] (traced; the static padded
     dims come from image.shape). gt_boxes are in input-image coords.
     Train-time proposal counts follow the reference's train branch
     (generate_proposals.py / detector.py: pre 12000, post 2000).
+
+    extras (optional dict) turns on the e2e mask / keypoint branches — the
+    full e2e_mask_rcnn / e2e_keypoint_rcnn training families the reference
+    lists but cannot train (README.md:30-32; its train_fast.py is box-only):
+      gt_masks (G, Mg, Mg) uint8 per-gt rasters wrt their own gt boxes
+        (train/sampler.polys_to_mask_wrt_box(segm, gt_box, GT_RASTER_RES)),
+      gt_mask_valid (G,) bool (False for gts without polygon segms),
+      gt_keypoints (G, P, 3) [x, y, v] in input-image coords.
+    The branches run on the FIRST fg-capacity sampled rows (the sampler
+    places fg first) with targets computed on device (mask_targets_device /
+    keypoint_labels_device) — nothing about the rois ever leaves the jit.
     """
     from detectorch_tpu.models import fpn as fpn_mod
     from detectorch_tpu.models import heads as heads_mod
@@ -310,10 +414,16 @@ def e2e_losses(params, cfg: ModelConfig, sampler_cfg: SamplerConfig,
         levels = map_rois_to_fpn_levels(
             rois, cfg.fpn.roi_min_level, cfg.fpn.roi_max_level
         ) - cfg.fpn.roi_min_level
-        roi_feats = multilevel_roi_align(
-            [p[0] for p in pyramid], rois, levels, cfg.fpn_spatial_scales,
-            cfg.roi_size, cfg.roi_size, cfg.roi_sampling_ratio,
-        )
+        if fused_roi_align is not None:
+            # Pallas slab forward + gather VJP (measured 19% faster train
+            # step; ops/roi_align.make_multilevel_roi_align_fused)
+            roi_feats = fused_roi_align[cfg.roi_size](
+                [p[0] for p in pyramid], rois, levels)
+        else:
+            roi_feats = multilevel_roi_align(
+                [p[0] for p in pyramid], rois, levels, cfg.fpn_spatial_scales,
+                cfg.roi_size, cfg.roi_size, cfg.roi_sampling_ratio,
+            )
         box_feats = heads_mod.mlp_box_head(
             params, roi_feats, jnp.dtype(cfg.compute_dtype)
         )
@@ -347,6 +457,64 @@ def e2e_losses(params, cfg: ModelConfig, sampler_cfg: SamplerConfig,
         "loss_rpn_bbox": loss_rpn_bbox,
         "accuracy": acc,
     }
+
+    extras = extras or {}
+    fg_rows = int(round(sampler_cfg.fg_fraction * sampler_cfg.rois_per_image))
+    fg_mask = (roi_labels[:fg_rows] > 0) & roi_valid[:fg_rows]
+
+    def _branch_feats(branch_rois, size):
+        if cfg.use_fpn:
+            blevels = map_rois_to_fpn_levels(
+                branch_rois, cfg.fpn.roi_min_level, cfg.fpn.roi_max_level
+            ) - cfg.fpn.roi_min_level
+            if fused_roi_align is not None and size in fused_roi_align:
+                return fused_roi_align[size](
+                    [p[0] for p in pyramid], branch_rois, blevels)
+            return multilevel_roi_align(
+                [p[0] for p in pyramid], branch_rois, blevels,
+                cfg.fpn_spatial_scales, size, size, cfg.roi_sampling_ratio,
+            )
+        return roi_align_matmul(
+            c4[0], branch_rois, size, size,
+            cfg.spatial_scale, cfg.roi_sampling_ratio,
+            precision=cfg.roi_align_precision,
+        )
+
+    if cfg.use_mask and "gt_masks" in extras:
+        mrois = rois[:fg_rows]
+        mask_feats = _branch_feats(mrois, cfg.mask.roi_size)
+        mask_logits = heads_mod.mask_head(
+            params, mask_feats.astype(jnp.dtype(cfg.compute_dtype)),
+            cfg.mask.head_type, cfg.arch, output_prob=False,
+        )  # (Rf, M, M, K)
+        mt = mask_targets_device(
+            extras["gt_masks"], gt_boxes, sampled.gt_inds[:fg_rows], mrois,
+            cfg.mask.resolution,
+        )
+        mvalid = fg_mask & extras["gt_mask_valid"][sampled.gt_inds[:fg_rows]]
+        loss_mask = losses.mask_loss(
+            mask_logits, mt, roi_labels[:fg_rows], mvalid
+        )
+        total = total + loss_mask
+        metrics["loss_mask"] = loss_mask
+
+    if cfg.keypoint is not None and "gt_keypoints" in extras:
+        kcfg = cfg.keypoint
+        krois = rois[:fg_rows]
+        kp_feats = _branch_feats(krois, kcfg.roi_size)
+        heatmaps = heads_mod.keypoint_head(
+            params, kp_feats.astype(jnp.dtype(cfg.compute_dtype)),
+            kcfg.num_convs,
+        )
+        kp = extras["gt_keypoints"][sampled.gt_inds[:fg_rows]]
+        kp_labels, kp_valid = keypoint_labels_device(
+            kp, krois, kcfg.heatmap_size
+        )
+        kp_valid = kp_valid & fg_mask[:, None]
+        loss_kps = losses.keypoint_loss(heatmaps, kp_labels, kp_valid)
+        total = total + loss_kps
+        metrics["loss_kps"] = loss_kps
+
     return total, metrics
 
 
@@ -354,12 +522,24 @@ def make_e2e_train_step(cfg: ModelConfig, solver_cfg=None,
                         sampler_cfg: SamplerConfig = SamplerConfig(),
                         seed: int = 0,
                         train_pre_nms: int = 12000,
-                        train_post_nms: int = 2000):
-    """(init_state, make_step) for e2e Faster R-CNN training.
+                        train_post_nms: int = 2000,
+                        train_mask: bool = False,
+                        train_keypoints: bool = False,
+                        device_input: bool = False,
+                        blob_hw: Tuple[int, int] = (1344, 1344),
+                        roi_align_impl: str = "gather"):
+    """(init_state, make_step) for e2e training (RPN + box head, plus the
+    mask / keypoint branches when enabled — the e2e_mask_rcnn /
+    e2e_keypoint_rcnn families).
 
     Batch schema (leading batch axis): image (B,H,W,3) fp32 padded blobs,
     gt_boxes (B,G,4) input-scaled, gt_classes (B,G) int32, gt_valid (B,G)
-    bool, info (B,3) [resized_h, resized_w, im_scale]. The per-image
+    bool, info (B,3) [resized_h, resized_w, im_scale]. With
+    device_input=True the fp32 image is replaced by the uint8 schema
+    raw (B,RH,RW,3) + tables (B,4,L) + meta (B,7) (data/device_input
+    packing, ~10x less H2D per iteration) and info is derived from meta.
+    train_mask adds gt_masks (B,G,Mg,Mg) uint8 + gt_mask_valid (B,G);
+    train_keypoints adds gt_keypoints (B,G,P,3) input-scaled. The per-image
     subsampling PRNG is derived from `seed` and the optimizer step, so runs
     are reproducible and resume-stable."""
     import optax
@@ -369,21 +549,78 @@ def make_e2e_train_step(cfg: ModelConfig, solver_cfg=None,
     from detectorch_tpu.train.train_step import TrainState
 
     solver_cfg = solver_cfg or SolverConfig()
+    if train_mask:
+        assert cfg.use_mask, "train_mask=True needs a mask preset"
+    if train_keypoints:
+        assert cfg.keypoint is not None, (
+            "train_keypoints=True needs the keypoint preset")
+    fused = None
+    if roi_align_impl == "pallas":
+        assert cfg.use_fpn, "the Pallas slab kernel is the FPN path"
+        from detectorch_tpu.ops.roi_align import make_multilevel_roi_align_fused
+
+        sizes = {cfg.roi_size}
+        if train_mask:
+            sizes.add(cfg.mask.roi_size)
+        if train_keypoints:
+            sizes.add(cfg.keypoint.roi_size)
+        fused = {
+            s: make_multilevel_roi_align_fused(
+                cfg.fpn_spatial_scales, s, s, cfg.roi_sampling_ratio)
+            for s in sizes
+        }
+    elif roi_align_impl != "gather":
+        raise ValueError(f"unknown roi_align_impl {roi_align_impl!r}")
+
+    def _extras(batch):
+        extra = {}
+        if train_mask:
+            extra["gt_masks"] = batch["gt_masks"]
+            extra["gt_mask_valid"] = batch["gt_mask_valid"]
+        if train_keypoints:
+            extra["gt_keypoints"] = batch["gt_keypoints"]
+        return extra
 
     def batched_loss(params, batch, step):
         base = jax.random.fold_in(jax.random.PRNGKey(seed), step)
-        keys = jax.random.split(base, batch["image"].shape[0])
+        nb = (batch["raw"] if device_input else batch["image"]).shape[0]
+        keys = jax.random.split(base, nb)
 
-        def one(image, gt_boxes, gt_classes, gt_valid, info, key):
+        def one(image, gt_boxes, gt_classes, gt_valid, info, key, extra):
             return e2e_losses(
                 params, cfg, sampler_cfg, image, gt_boxes, gt_classes,
                 gt_valid, info, key, train_pre_nms=train_pre_nms,
-                train_post_nms=train_post_nms,
+                train_post_nms=train_post_nms, extras=extra,
+                fused_roi_align=fused,
             )
+
+        if device_input:
+            from detectorch_tpu.data.device_input import device_preprocess
+
+            def one_raw(raw, tables, meta, gt_boxes, gt_classes, gt_valid,
+                        key, extra):
+                out_h, out_w = blob_hw  # static: the fixed training bucket
+                image = device_preprocess(
+                    raw,
+                    tables[0, :out_h].astype(jnp.int32), tables[1, :out_h],
+                    tables[2, :out_w].astype(jnp.int32), tables[3, :out_w],
+                    meta[0].astype(jnp.int32), meta[1].astype(jnp.int32),
+                    meta[2].astype(jnp.int32), meta[3].astype(jnp.int32),
+                )
+                info = meta[2:5]  # [rsz_h, rsz_w, scale]
+                return one(image, gt_boxes, gt_classes, gt_valid, info,
+                           key, extra)
+
+            total, metrics = jax.vmap(one_raw)(
+                batch["raw"], batch["tables"], batch["meta"],
+                batch["gt_boxes"], batch["gt_classes"], batch["gt_valid"],
+                keys, _extras(batch),
+            )
+            return jnp.mean(total), jax.tree.map(jnp.mean, metrics)
 
         total, metrics = jax.vmap(one)(
             batch["image"], batch["gt_boxes"], batch["gt_classes"],
-            batch["gt_valid"], batch["info"], keys,
+            batch["gt_valid"], batch["info"], keys, _extras(batch),
         )
         return jnp.mean(total), jax.tree.map(jnp.mean, metrics)
 

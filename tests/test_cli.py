@@ -174,3 +174,31 @@ def test_train_fast_cli_e2e(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "loss_rpn_cls" in r.stdout and "loss_rpn_bbox" in r.stdout
     assert "saved" in r.stdout
+
+
+def test_train_fast_cli_e2e_masks_device_preprocess(tmp_path):
+    """The full composition: --e2e --masks --device-preprocess — e2e Mask
+    R-CNN with device-side mask targets and the uint8 input schema
+    (round-4: the e2e_mask_rcnn family the reference lists but cannot
+    train). loss_mask AND the RPN losses must appear; checkpoint written."""
+    from detectorch_tpu.data.synth import build_synth_coco
+
+    ann, imdir = build_synth_coco(
+        str(tmp_path / "ds"), n_images=2, height=96, width=128, seed=7,
+    )
+    out = str(tmp_path / "run")
+    env = dict(os.environ, DETECTORCH_CPU="1")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "train_fast.py"),
+         "--ann", ann, "--imdir", imdir, "--e2e", "--masks", "--fpn",
+         "--device-preprocess",
+         "--out", out, "--max-iter", "2",
+         "--checkpoint-period", "2", "--log-period", "1",
+         "--base-lr", "0.001", "--target-size", "96", "--max-size", "128",
+         "--blob", "96", "128", "--rois-per-image", "16"],
+        capture_output=True, text=True, timeout=1800, env=env, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "loss_mask" in r.stdout
+    assert "loss_rpn_cls" in r.stdout
+    assert "saved" in r.stdout

@@ -52,6 +52,12 @@ def parse_args():
                    metavar=("H", "W"),
                    help="fixed training blob bucket (one compiled program)")
     p.add_argument("--rois-per-image", type=int, default=512)
+    p.add_argument("--roi-align", choices=["auto", "gather", "pallas"],
+                   default="auto",
+                   help="training RoIAlign formulation (FPN only): "
+                        "'pallas' = slab-DMA forward + gather-form VJP, "
+                        "measured 19%% faster step on TPU; 'auto' picks "
+                        "pallas on TPU FPN, gather elsewhere")
     p.add_argument("--keypoints", action="store_true",
                    help="train the Keypoint R-CNN preset (box branch + "
                         "KRCNN keypoint head) from a person-keypoints "
@@ -62,17 +68,17 @@ def parse_args():
                         "(upstream Detectron mask training; the reference "
                         "repo trains boxes only)")
     p.add_argument("--e2e", action="store_true",
-                   help="END-TO-END Faster R-CNN training: RPN + box head "
-                        "jointly, anchor targets and roi sampling computed "
-                        "inside the jitted step from the gt boxes alone "
-                        "(no proposal file; upstream Detectron e2e "
-                        "semantics — the reference cannot train its e2e "
-                        "presets at all)")
+                   help="END-TO-END training: RPN + box head jointly, "
+                        "anchor targets and roi sampling computed inside "
+                        "the jitted step from the gt boxes alone (no "
+                        "proposal file; upstream Detectron e2e semantics — "
+                        "the reference cannot train its e2e presets at "
+                        "all). Composes with --masks (e2e Mask R-CNN: "
+                        "device-side crop-resize mask targets) and "
+                        "--keypoints (e2e Keypoint R-CNN)")
     args = p.parse_args()
-    if sum([args.masks, args.keypoints, args.e2e]) > 1:
-        p.error("--masks/--keypoints/--e2e are mutually exclusive modes")
-    if args.e2e and args.device_preprocess:
-        p.error("--e2e currently uses the host-blob input path")
+    if args.masks and args.keypoints:
+        p.error("--masks and --keypoints are mutually exclusive")
     if (not args.keypoints and not args.masks and not args.e2e
             and not args.proposals):
         # Fast R-CNN needs hard negatives from precomputed proposals;
@@ -101,18 +107,19 @@ def main():
     from detectorch_tpu.data.coco import roidb_for_training
     from detectorch_tpu.models.detector import init_params
     from detectorch_tpu.parallel.mesh import make_mesh
-    from detectorch_tpu.train.sampler import sample_rois
+    from detectorch_tpu.train.e2e import GT_RASTER_RES
+    from detectorch_tpu.train.sampler import polys_to_mask_wrt_box, sample_rois
     from detectorch_tpu.train.train_step import make_train_step
     from detectorch_tpu.utils.stats import TrainingStats
 
     if args.keypoints:
         preset = "e2e_keypoint_rcnn_R-50-FPN_1x"
-    elif args.e2e:
-        preset = ("e2e_faster_rcnn_R-50-FPN_2x" if args.fpn
-                  else "e2e_faster_rcnn_R-50-C4_2x")
     elif args.masks:
         preset = ("e2e_mask_rcnn_R-50-FPN_2x" if args.fpn
                   else "e2e_mask_rcnn_R-50-C4_2x")
+    elif args.e2e:
+        preset = ("e2e_faster_rcnn_R-50-FPN_2x" if args.fpn
+                  else "e2e_faster_rcnn_R-50-C4_2x")
     else:
         preset = "fast_rcnn_R-50-FPN_2x" if args.fpn else "fast_rcnn_R-50-C4_2x"
     cfg = PRESETS[preset].replace(arch=args.arch)
@@ -140,16 +147,25 @@ def main():
         print("loaded base CNN weights", flush=True)
 
     blob_hw = tuple(args.blob)  # one fixed training bucket -> one program
+    roi_align_impl = args.roi_align
+    if roi_align_impl == "auto":
+        # Pallas slab forward (19% faster step, PERF.md round 4) on TPU FPN;
+        # gather elsewhere (interpret-mode Pallas on CPU is slow)
+        roi_align_impl = ("pallas" if cfg.use_fpn
+                          and jax.default_backend() == "tpu" else "gather")
     if args.e2e:
         from detectorch_tpu.train.e2e import make_e2e_train_step
 
         init_state, make_step = make_e2e_train_step(
-            cfg, solver, sampler_cfg, seed=args.seed
+            cfg, solver, sampler_cfg, seed=args.seed,
+            train_mask=args.masks, train_keypoints=args.keypoints,
+            device_input=args.device_preprocess, blob_hw=blob_hw,
+            roi_align_impl=roi_align_impl,
         )
     else:
         init_state, make_step = make_train_step(
             cfg, solver, device_input=args.device_preprocess, blob_hw=blob_hw,
-            train_mask=args.masks,
+            train_mask=args.masks, roi_align_impl=roi_align_impl,
         )
     state, tx = init_state(params)
     step_fn = jax.jit(make_step(tx))
@@ -193,17 +209,43 @@ def main():
     gt_pad = 128
 
     def make_batch_e2e():
-        batch = {k: [] for k in
-                 ["image", "gt_boxes", "gt_classes", "gt_valid", "info"]}
+        keys = (["raw", "tables", "meta"] if args.device_preprocess
+                else ["image", "info"])
+        keys += ["gt_boxes", "gt_classes", "gt_valid"]
+        if args.masks:
+            keys += ["gt_masks", "gt_mask_valid"]
+        if args.keypoints:
+            keys += ["gt_keypoints"]
+        batch = {k: [] for k in keys}
         for _ in range(batch_size):
             e = roidb[rng.randint(len(roidb))]
             im = T.load_image_rgb(e.file_path)
             if e.flipped:
-                im = im[:, ::-1]
-            image, scale, _ = T.preprocess_image(
-                im, test_cfg.target_size, test_cfg.max_size,
-                buckets=(blob_hw,),
-            )
+                # flip the uint8 pixels BEFORE resize, like the reference
+                # (coco_dataset.py:52-53); the gt boxes/segms/keypoints in
+                # the flipped roidb entry are already flipped
+                im = np.ascontiguousarray(im[:, ::-1])
+            if args.device_preprocess:
+                raw, m = prepare_raw(
+                    im.astype(np.uint8), test_cfg.target_size,
+                    test_cfg.max_size, buckets=(blob_hw,),
+                )
+                rawp = np.zeros((raw_h, raw_w, 3), np.uint8)
+                rawp[: raw.shape[0], : raw.shape[1]] = raw
+                tables, meta = pack_tables_meta(m)
+                scale = m["scale"]
+                batch["raw"].append(rawp)
+                batch["tables"].append(tables)
+                batch["meta"].append(meta)
+            else:
+                image, scale, _ = T.preprocess_image(
+                    im, test_cfg.target_size, test_cfg.max_size,
+                    buckets=(blob_hw,),
+                )
+                batch["image"].append(image)
+                batch["info"].append(np.asarray(
+                    [round(e.height * scale), round(e.width * scale), scale],
+                    np.float32))
             # crowd regions are never positive targets (upstream Detectron
             # roi_data/rpn.py uses (gt_classes > 0) & (is_crowd == 0))
             gi = np.where((e.gt_classes > 0) & (e.is_crowd == 0))[0][:gt_pad]
@@ -213,13 +255,33 @@ def main():
             gb[: len(gi)] = e.boxes[gi] * scale
             gc[: len(gi)] = e.gt_classes[gi]
             gv[: len(gi)] = True
-            batch["image"].append(image)
             batch["gt_boxes"].append(gb)
             batch["gt_classes"].append(gc)
             batch["gt_valid"].append(gv)
-            batch["info"].append(np.asarray(
-                [round(e.height * scale), round(e.width * scale), scale],
-                np.float32))
+            if args.masks:
+                # one raster per gt wrt its OWN box — frame-free (the crop
+                # mapping on device uses the scaled boxes), a few KB/image
+                gm = np.zeros((gt_pad, GT_RASTER_RES, GT_RASTER_RES),
+                              np.uint8)
+                gmv = np.zeros(gt_pad, bool)
+                for i, ind in enumerate(gi):
+                    segm = e.segms[ind] if ind < len(e.segms) else None
+                    if isinstance(segm, list) and segm:
+                        gm[i] = polys_to_mask_wrt_box(
+                            segm, e.boxes[ind], GT_RASTER_RES)
+                        gmv[i] = True
+                batch["gt_masks"].append(gm)
+                batch["gt_mask_valid"].append(gmv)
+            if args.keypoints:
+                p_kp = e.gt_keypoints.shape[1] if e.gt_keypoints is not None \
+                    else (cfg.keypoint.num_keypoints if cfg.keypoint else 17)
+                gk = np.zeros((gt_pad, p_kp, 3), np.float32)
+                if e.gt_keypoints is not None and len(e.gt_keypoints):
+                    g_of = np.maximum(e.box_to_gt_ind_map[gi], 0)
+                    kk = e.gt_keypoints[g_of]
+                    gk[: len(gi), :, :2] = kk[:, :, :2] * scale
+                    gk[: len(gi), :, 2] = kk[:, :, 2]
+                batch["gt_keypoints"].append(gk)
         return {
             k: jax.device_put(np.stack(v), data_sharding)
             for k, v in batch.items()
