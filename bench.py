@@ -28,6 +28,21 @@ def log(*a):
 def main():
     import jax
 
+    # persistent compilation cache: the flagship program is identical across
+    # rounds, but bench.py used to pay the full remote compile every time
+    # (41 s r1 -> 365 s r2 -> 244 s r3 through the axon compiler); the cache
+    # under the repo survives rounds (.gitignore'd; harmless if evicted)
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass  # older jax without the persistent cache: compile as before
+
     from detectorch_tpu.config import PRESETS, TestConfig
     from detectorch_tpu.models.detector import init_params
     from detectorch_tpu.parallel.mesh import (

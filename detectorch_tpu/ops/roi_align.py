@@ -412,6 +412,66 @@ def multilevel_roi_align(
     return summed * inv_count[:, None, None, None]
 
 
+def make_multilevel_roi_align_fused(
+    level_scales: Sequence[float],
+    pooled_h: int,
+    pooled_w: int,
+    sampling_ratio: int = 2,
+):
+    """Training-path RoIAlign: Pallas slab-DMA FORWARD + gather-form VJP.
+
+    Inference measured the Pallas kernel at ~2x the gather formulation's
+    end-to-end throughput (PERF.md); training kept the gather form because
+    the kernel has no backward. This wrapper gives the train step the fast
+    forward while the backward differentiates the (mathematically
+    identical) gather formulation — the cotangent is exact for every roi
+    whose footprint fits the slab.
+
+    Caveat (documented, matching the inference architecture): rois whose
+    sampling footprint exceeds the 64-slab (extreme >~4:1 aspect ratios on
+    their assigned FPN level) get crop-clamped forward VALUES; inference
+    re-runs such images exactly, training accepts the bounded error on
+    those rare rois (the gradient still flows through the exact gather
+    VJP). Returns fn(feature_list, rois, levels) -> (N, PH, PW, C) fp32.
+    """
+
+    @jax.custom_vjp
+    def fn(feature_list, rois, levels):
+        from detectorch_tpu.ops.pallas.roi_align_kernel import (
+            multilevel_roi_align_pallas,
+        )
+
+        out, _ = multilevel_roi_align_pallas(
+            feature_list, rois, levels, level_scales,
+            pooled_h, pooled_w, sampling_ratio,
+        )
+        return out
+
+    def fwd(feature_list, rois, levels):
+        return fn(feature_list, rois, levels), (feature_list, rois, levels)
+
+    def bwd(res, g):
+        feature_list, rois, levels = res
+        _, vjp = jax.vjp(
+            lambda fl: multilevel_roi_align(
+                fl, rois, levels, level_scales,
+                pooled_h, pooled_w, sampling_ratio,
+            ),
+            feature_list,
+        )
+        (g_feats,) = vjp(g.astype(jnp.float32))
+        g_feats = [gf.astype(f.dtype) for gf, f in zip(g_feats, feature_list)]
+        # rois/levels are not differentiated (levels is integral; roi
+        # coordinates receive no gradient in the reference either —
+        # roi_align_backward_cuda.cu computes grad wrt features only)
+        zero_rois = jnp.zeros_like(rois)
+        zero_levels = np.zeros(levels.shape, dtype=jax.dtypes.float0)
+        return (g_feats, zero_rois, zero_levels)
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
 def roi_align(
     features,
     rois,

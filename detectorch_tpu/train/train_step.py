@@ -35,7 +35,8 @@ class TrainState(NamedTuple):
 def box_branch_loss(params, cfg: ModelConfig, image, rois, labels,
                     bbox_targets, bbox_inside_weights, bbox_outside_weights,
                     valid, kp_labels=None, kp_valid=None,
-                    mask_targets=None, mask_valid=None):
+                    mask_targets=None, mask_valid=None,
+                    fused_roi_align=None):
     """Single-image Fast R-CNN loss (reference train_fast.py:141-155).
 
     When ``cfg.keypoint`` is set and kp_labels/kp_valid (Rk, P) are given,
@@ -57,10 +58,16 @@ def box_branch_loss(params, cfg: ModelConfig, image, rois, labels,
         levels = map_rois_to_fpn_levels(
             rois, cfg.fpn.roi_min_level, cfg.fpn.roi_max_level
         ) - cfg.fpn.roi_min_level
-        roi_feats = multilevel_roi_align(
-            [p[0] for p in pyramid], rois, levels, cfg.fpn_spatial_scales,
-            cfg.roi_size, cfg.roi_size, cfg.roi_sampling_ratio,
-        )
+        if fused_roi_align is not None:
+            # Pallas slab forward + gather-form VJP (ops/roi_align.
+            # make_multilevel_roi_align_fused)
+            roi_feats = fused_roi_align(
+                [p[0] for p in pyramid], rois, levels)
+        else:
+            roi_feats = multilevel_roi_align(
+                [p[0] for p in pyramid], rois, levels, cfg.fpn_spatial_scales,
+                cfg.roi_size, cfg.roi_size, cfg.roi_sampling_ratio,
+            )
         box_feats = heads_mod.mlp_box_head(
             params, roi_feats, jnp.dtype(cfg.compute_dtype)
         )
@@ -168,7 +175,8 @@ def expand_bbox_targets_device(compact, num_classes: int):
 def make_train_step(cfg: ModelConfig, solver_cfg: SolverConfig = SolverConfig(),
                     device_input: bool = False,
                     blob_hw: Tuple[int, int] = (1344, 1344),
-                    train_mask: bool = False):
+                    train_mask: bool = False,
+                    roi_align_impl: str = "gather"):
     """Returns (init_state, step_fn) for batched Fast R-CNN training.
 
     step_fn(state, batch) -> (state, metrics); batch is a dict of arrays with
@@ -189,6 +197,17 @@ def make_train_step(cfg: ModelConfig, solver_cfg: SolverConfig = SolverConfig(),
     has_kp = cfg.keypoint is not None
     if train_mask:
         assert cfg.use_mask, "train_mask=True needs a mask preset"
+    fused = None
+    if roi_align_impl == "pallas":
+        assert cfg.use_fpn, "the Pallas slab kernel is the FPN path"
+        from detectorch_tpu.ops.roi_align import make_multilevel_roi_align_fused
+
+        fused = make_multilevel_roi_align_fused(
+            cfg.fpn_spatial_scales, cfg.roi_size, cfg.roi_size,
+            cfg.roi_sampling_ratio,
+        )
+    elif roi_align_impl != "gather":
+        raise ValueError(f"unknown roi_align_impl {roi_align_impl!r}")
 
     def _extras(batch):
         # optional per-image branch blobs, carried as one dict pytree so the
@@ -208,7 +227,8 @@ def make_train_step(cfg: ModelConfig, solver_cfg: SolverConfig = SolverConfig(),
     def batched_loss(params, batch):
         def one(image, rois, labels, t, iw, ow, valid, extra):
             return box_branch_loss(
-                params, cfg, image, rois, labels, t, iw, ow, valid, **extra
+                params, cfg, image, rois, labels, t, iw, ow, valid,
+                fused_roi_align=fused, **extra
             )
 
         if device_input:

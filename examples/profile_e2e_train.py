@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""E2E training-step timing on real TPU (round-4: e2e had no measured TPU
+step time). Faster R-CNN R-50-FPN e2e step — RPN losses, train-count
+proposal generation (12000 pre / 2000 post), device roi sampling, box
+head — at the production bucket, synthetic batch pinned on device.
+
+PROFILE_E2E_BATCH (default 8), PROFILE_E2E_MASKS=1 adds the mask branch
+(e2e Mask R-CNN step). Methodology as profile_train.py (pipelined steps,
+one scalar fetch).
+
+Usage: PYTHONPATH=/root/repo:$PYTHONPATH python -u examples/profile_e2e_train.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from detectorch_tpu.config import PRESETS, SamplerConfig, SolverConfig
+    from detectorch_tpu.models.detector import init_params
+    from detectorch_tpu.train.e2e import GT_RASTER_RES, make_e2e_train_step
+
+    b = int(os.environ.get("PROFILE_E2E_BATCH", "8"))
+    masks = os.environ.get("PROFILE_E2E_MASKS", "") == "1"
+    h, w = 832, 1344
+    g = 64  # padded gt capacity
+    preset = ("e2e_mask_rcnn_R-50-FPN_2x" if masks
+              else "e2e_faster_rcnn_R-50-FPN_2x")
+    cfg = PRESETS[preset]
+    print(f"devices: {jax.devices()}  batch={b} blob={h}x{w} "
+          f"masks={masks}", flush=True)
+
+    impl = os.environ.get("PROFILE_E2E_ROIALIGN", "gather")
+    params = init_params(cfg, seed=0)
+    init_state, make_step = make_e2e_train_step(
+        cfg, SolverConfig(), SamplerConfig(), seed=0, train_mask=masks,
+        roi_align_impl=impl,
+    )
+    state, tx = init_state(params)
+    step = jax.jit(make_step(tx))
+
+    rng = np.random.RandomState(0)
+    gt = np.zeros((b, g, 4), np.float32)
+    gt[:, :, 0] = rng.uniform(0, w / 2, (b, g))
+    gt[:, :, 1] = rng.uniform(0, h / 2, (b, g))
+    gt[:, :, 2] = gt[:, :, 0] + rng.uniform(32, w / 2 - 1, (b, g))
+    gt[:, :, 3] = gt[:, :, 1] + rng.uniform(32, h / 2 - 1, (b, g))
+    batch = {
+        "image": (rng.randn(b, h, w, 3) * 40).astype(np.float32),
+        "gt_boxes": gt,
+        "gt_classes": rng.randint(1, cfg.num_classes, (b, g)).astype(np.int32),
+        "gt_valid": np.ones((b, g), bool),
+        "info": np.tile(np.asarray([h, w, 1.66], np.float32), (b, 1)),
+    }
+    if masks:
+        batch["gt_masks"] = (
+            rng.rand(b, g, GT_RASTER_RES, GT_RASTER_RES) > 0.5
+        ).astype(np.uint8)
+        batch["gt_mask_valid"] = np.ones((b, g), bool)
+    batch = {kk: jax.device_put(jnp.asarray(v)) for kk, v in batch.items()}
+
+    t0 = time.time()
+    state, metrics = step(state, batch)
+    loss = float(metrics["loss"])
+    print(f"compile+first: {time.time() - t0:.1f}s loss={loss:.4f}",
+          flush=True)
+
+    n = int(os.environ.get("PROFILE_E2E_ITERS", "8"))
+    t0 = time.time()
+    for _ in range(n):
+        state, metrics = step(state, batch)
+    loss = float(metrics["loss"])
+    dt = (time.time() - t0) / n
+    print(f"steady: {dt * 1e3:.1f} ms/step -> {b / dt:.1f} img/s "
+          f"(batch {b}, loss={loss:.4f})", flush=True)
+
+
+if __name__ == "__main__":
+    main()

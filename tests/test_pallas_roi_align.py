@@ -75,3 +75,45 @@ def test_pallas_reports_oversized_footprint(rng):
         slab=32, interpret=True,
     )
     assert not np.asarray(fits).any()
+
+
+def test_fused_train_roi_align_grad_matches_gather(rng):
+    """make_multilevel_roi_align_fused: Pallas forward + gather-form VJP.
+    The gradient wrt the feature maps must equal differentiating the gather
+    formulation directly (the backward IS that VJP), and the forward must
+    match the gather values for in-slab rois."""
+    import jax
+    import jax.numpy as jnp
+
+    from detectorch_tpu.ops.roi_align import make_multilevel_roi_align_fused
+
+    feats = make_levels(rng)
+    scales = (0.25, 0.125, 0.0625)
+    rois = np.array(
+        [[8, 8, 80, 60], [40, 20, 120, 90], [4, 4, 30, 30]], np.float32
+    )
+    levels = np.array([0, 1, 0], np.int32)
+    fused = make_multilevel_roi_align_fused(scales, 7, 7, 2)
+
+    def loss_fused(fl):
+        return jnp.sum(fused(fl, jnp.asarray(rois), jnp.asarray(levels)) ** 2)
+
+    def loss_gather(fl):
+        return jnp.sum(multilevel_roi_align(
+            fl, jnp.asarray(rois), jnp.asarray(levels), scales, 7, 7, 2
+        ) ** 2)
+
+    out_f = fused([jnp.asarray(f) for f in feats],
+                  jnp.asarray(rois), jnp.asarray(levels))
+    out_g = multilevel_roi_align(
+        [jnp.asarray(f) for f in feats], jnp.asarray(rois),
+        jnp.asarray(levels), scales, 7, 7, 2)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_g),
+                               rtol=1e-5, atol=1e-5)
+
+    jf = [jnp.asarray(f) for f in feats]
+    g_f = jax.grad(loss_fused)(jf)
+    g_g = jax.grad(loss_gather)(jf)
+    for a, b in zip(g_f, g_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

@@ -428,3 +428,47 @@ def test_train_step_mask_loss_decreases(rng):
         ml.append(float(metrics["loss_mask"]))
     assert np.isfinite(ml).all()
     assert ml[-1] < ml[0]
+
+
+def test_train_step_pallas_roi_align_matches_gather(rng):
+    """roi_align_impl='pallas' (slab forward + gather VJP; 19% faster step
+    on TPU) must produce the same losses and near-identical updates as the
+    gather formulation on in-slab rois."""
+    import jax
+
+    from detectorch_tpu.config import PRESETS, SolverConfig
+    from detectorch_tpu.models.detector import init_params
+    from detectorch_tpu.train.train_step import make_train_step
+
+    cfg = PRESETS["fast_rcnn_R-50-FPN_2x"].replace(compute_dtype="float32")
+    params = init_params(cfg, seed=0)
+    b, r, k = 1, 16, cfg.num_classes
+    rois = np.stack([
+        np.stack([
+            rng.uniform(0, 40, r), rng.uniform(0, 30, r),
+            rng.uniform(48, 120, r), rng.uniform(40, 60, r),
+        ], axis=1)
+    ]).astype(np.float32)
+    batch = {
+        "image": (rng.randn(b, 64, 128, 3) * 10).astype(np.float32),
+        "rois": rois,
+        "labels": rng.randint(0, k, (b, r)).astype(np.int32),
+        "bbox_targets": np.zeros((b, r, 4 * k), np.float32),
+        "bbox_inside_weights": np.zeros((b, r, 4 * k), np.float32),
+        "bbox_outside_weights": np.zeros((b, r, 4 * k), np.float32),
+        "valid": np.ones((b, r), bool),
+    }
+
+    def run(impl):
+        init_state, make_step = make_train_step(
+            cfg, SolverConfig(base_lr=1e-3, warmup_iters=0),
+            roi_align_impl=impl)
+        state, tx = init_state(params)
+        step = jax.jit(make_step(tx))
+        state, metrics = step(state, batch)
+        return {kk: float(v) for kk, v in metrics.items()}
+
+    mg = run("gather")
+    mp = run("pallas")
+    for key in ("loss", "loss_cls", "loss_bbox"):
+        np.testing.assert_allclose(mp[key], mg[key], rtol=1e-4, atol=1e-5)
