@@ -665,6 +665,10 @@ def mirror_run_image(cfg, tcfg, params, entry, dataset):
     cls_boxes = TM.mirror_box_results(
         cls, pred, cfg.num_classes, tcfg.score_thresh, tcfg.nms_thresh,
         tcfg.detections_per_img,
+        do_soft_nms=tcfg.soft_nms, soft_nms_sigma=tcfg.soft_nms_sigma,
+        soft_nms_method=tcfg.soft_nms_method, do_bbox_vote=tcfg.do_bbox_vote,
+        bbox_vote_thresh=tcfg.bbox_vote_thresh,
+        bbox_vote_method=tcfg.bbox_vote_method,
     )
 
     bbox_out = []

@@ -51,8 +51,10 @@ def synth():
 
 
 def run_preset_parity(preset, dataset, proposals_file, shapes="harness",
-                      limit=None):
+                      limit=None, tcfg_overrides=None):
     cfg, tcfg = harness_cfg(preset, shapes=shapes)
+    if tcfg_overrides:
+        tcfg = tcfg.replace(**tcfg_overrides)
     params = make_probe_weights(family_of(preset), dataset, shapes=shapes)
     roidb = (
         dataset.get_roidb(gt=False)
@@ -152,4 +154,30 @@ def test_ap_parity_production_shapes(synth):
     dataset, proposals_file = synth
     r = run_preset_parity("e2e_mask_rcnn_R-50-FPN_2x", dataset,
                           proposals_file, shapes="production", limit=6)
+    check(r)
+
+
+def test_ap_parity_soft_nms(synth):
+    """Pipeline-level soft-NMS parity (round-3 verdict weak #7: soft-NMS was
+    op-level-tested only): the full evaluate_dataset with
+    TestConfig.soft_nms vs the mirror driving the reference's
+    box_results_with_nms_and_limit soft-NMS branch (result_utils.py:134-141
+    semantics), scored with the same COCOeval."""
+    dataset, proposals_file = synth
+    r = run_preset_parity(
+        "e2e_faster_rcnn_R-50-FPN_2x", dataset, proposals_file,
+        tcfg_overrides={"soft_nms": True},
+    )
+    check(r)
+
+
+def test_ap_parity_bbox_vote(synth):
+    """Pipeline-level box-voting parity: TestConfig.do_bbox_vote vs the
+    mirror driving the reference's voting refinement
+    (result_utils.py:144-152 + boxes.py:280-329)."""
+    dataset, proposals_file = synth
+    r = run_preset_parity(
+        "e2e_faster_rcnn_R-50-FPN_2x", dataset, proposals_file,
+        tcfg_overrides={"do_bbox_vote": True},
+    )
     check(r)

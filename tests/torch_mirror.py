@@ -274,21 +274,66 @@ def c4_mirror_proposals(cfg, params, image, h, w, im_scale, feats_np=None):
     return props, feats[0].detach().numpy()
 
 
+def mirror_box_voting(top_dets, all_dets, thresh, scoring_method="ID",
+                      beta=1.0):
+    """Transcription of the reference box_voting (boxes.py:280-329), ID and
+    AVG scoring (the two methods the pipeline-parity rows exercise; the
+    op-level tests cover all six against the executed reference)."""
+    out = top_dets.copy()
+    for k in range(len(out)):
+        iw = np.minimum(out[k, 2], all_dets[:, 2]) - np.maximum(
+            out[k, 0], all_dets[:, 0]) + 1
+        ih = np.minimum(out[k, 3], all_dets[:, 3]) - np.maximum(
+            out[k, 1], all_dets[:, 1]) + 1
+        inter = np.maximum(iw, 0) * np.maximum(ih, 0)
+        ua = ((out[k, 2] - out[k, 0] + 1) * (out[k, 3] - out[k, 1] + 1)
+              + (all_dets[:, 2] - all_dets[:, 0] + 1)
+              * (all_dets[:, 3] - all_dets[:, 1] + 1) - inter)
+        ov = inter / ua
+        vote = np.where(ov >= thresh)[0]
+        ws = all_dets[vote, 4]
+        out[k, :4] = np.average(all_dets[vote, :4], axis=0, weights=ws)
+        if scoring_method == "AVG":
+            out[k, 4] = ws.mean()
+        elif scoring_method != "ID":
+            raise NotImplementedError(scoring_method)
+    return out
+
+
 def mirror_box_results(scores, boxes, num_classes=81, score_thresh=0.05,
-                       overlap_thresh=0.5, max_detections_per_img=100):
+                       overlap_thresh=0.5, max_detections_per_img=100,
+                       do_soft_nms=False, soft_nms_sigma=0.5,
+                       soft_nms_method="linear", do_bbox_vote=False,
+                       bbox_vote_thresh=0.8, bbox_vote_method="ID"):
     """Transcription of the reference box_results_with_nms_and_limit
-    (result_utils.py:96-168): per-class threshold + NMS, then the global
-    >=image_thresh cap. Returns the per-class list `cls_boxes` (each (n, 5)
-    [x1 y1 x2 y2 score]) — class-major, the order the reference feeds the
-    mask branch in."""
+    (result_utils.py:96-168) INCLUDING its soft-NMS and box-voting options
+    (result_utils.py:134-152): per-class threshold + NMS (or soft-NMS),
+    optional voting refinement against the full above-threshold candidate
+    set, then the global >=image_thresh cap. Returns the per-class list
+    `cls_boxes` (each (n, 5) [x1 y1 x2 y2 score]) — class-major, the order
+    the reference feeds the mask branch in."""
+    from tests.oracles import np_soft_nms
+
+    methods = {"hard": 0, "linear": 1, "gaussian": 2}
     cls_boxes = [np.zeros((0, 5), np.float32) for _ in range(num_classes)]
     for j in range(1, num_classes):
         inds = np.where(scores[:, j] > score_thresh)[0]
         dets_j = np.hstack(
             (boxes[inds, j * 4:(j + 1) * 4], scores[inds, j, np.newaxis])
         ).astype(np.float32, copy=False)
-        keep = np_nms(dets_j, overlap_thresh)
-        cls_boxes[j] = dets_j[keep, :]
+        if do_soft_nms:
+            nms_dets, _ = np_soft_nms(
+                dets_j, sigma=soft_nms_sigma, Nt=overlap_thresh,
+                threshold=0.0001, method=methods[soft_nms_method],
+            )
+            nms_dets = nms_dets.astype(np.float32)
+        else:
+            keep = np_nms(dets_j, overlap_thresh)
+            nms_dets = dets_j[keep, :]
+        if do_bbox_vote and len(nms_dets):
+            nms_dets = mirror_box_voting(
+                nms_dets, dets_j, bbox_vote_thresh, bbox_vote_method)
+        cls_boxes[j] = nms_dets
     if max_detections_per_img > 0:
         image_scores = np.hstack(
             [cls_boxes[j][:, -1] for j in range(1, num_classes)]

@@ -49,16 +49,28 @@ def main():
     presets = args.presets.split(",") if args.presets else (
         ALL_PRESETS + ["e2e_keypoint_rcnn_R-50-FPN_1x"]
     )
+    # postprocess-variant rows: the reference's TEST.SOFT_NMS / TEST.BBOX_VOTE
+    # options (result_utils.py:134-152) driven through BOTH full pipelines
+    variants = {"": None,
+                "+soft_nms": {"soft_nms": True},
+                "+bbox_vote": {"do_bbox_vote": True}}
+    if not args.presets:
+        presets = presets + ["e2e_faster_rcnn_R-50-FPN_2x+soft_nms",
+                             "e2e_faster_rcnn_R-50-FPN_2x+bbox_vote"]
     rows = []
     for preset in presets:
         t0 = time.time()
-        if "keypoint" in preset:
+        base, _, var = preset.partition("+")
+        overrides = variants["+" + var] if var else None
+        if "keypoint" in base:
             # the keypoint row runs on the person-keypoints synthetic set
-            r = run_preset_parity(preset, prepare_keypoint_dataset(), None,
-                                  shapes=args.shapes, limit=args.limit)
+            r = run_preset_parity(base, prepare_keypoint_dataset(), None,
+                                  shapes=args.shapes, limit=args.limit,
+                                  tcfg_overrides=overrides)
         else:
-            r = run_preset_parity(preset, dataset, proposals_file,
-                                  shapes=args.shapes, limit=args.limit)
+            r = run_preset_parity(base, dataset, proposals_file,
+                                  shapes=args.shapes, limit=args.limit,
+                                  tcfg_overrides=overrides)
         row = {
             "preset": preset,
             "shapes": args.shapes,
