@@ -30,19 +30,21 @@ def main():
 
     b = int(os.environ.get("PROFILE_E2E_BATCH", "8"))
     masks = os.environ.get("PROFILE_E2E_MASKS", "") == "1"
+    kps = os.environ.get("PROFILE_E2E_KEYPOINTS", "") == "1"
     h, w = 832, 1344
     g = 64  # padded gt capacity
-    preset = ("e2e_mask_rcnn_R-50-FPN_2x" if masks
+    preset = ("e2e_keypoint_rcnn_R-50-FPN_1x" if kps
+              else "e2e_mask_rcnn_R-50-FPN_2x" if masks
               else "e2e_faster_rcnn_R-50-FPN_2x")
     cfg = PRESETS[preset]
     print(f"devices: {jax.devices()}  batch={b} blob={h}x{w} "
-          f"masks={masks}", flush=True)
+          f"masks={masks} keypoints={kps}", flush=True)
 
     impl = os.environ.get("PROFILE_E2E_ROIALIGN", "gather")
     params = init_params(cfg, seed=0)
     init_state, make_step = make_e2e_train_step(
         cfg, SolverConfig(), SamplerConfig(), seed=0, train_mask=masks,
-        roi_align_impl=impl,
+        train_keypoints=kps, roi_align_impl=impl,
     )
     state, tx = init_state(params)
     step = jax.jit(make_step(tx))
@@ -60,6 +62,16 @@ def main():
         "gt_valid": np.ones((b, g), bool),
         "info": np.tile(np.asarray([h, w, 1.66], np.float32), (b, 1)),
     }
+    if kps:
+        pnum = cfg.keypoint.num_keypoints
+        gk = np.zeros((b, g, pnum, 3), np.float32)
+        gk[:, :, :, 0] = gt[:, :, 0:1] + rng.rand(b, g, pnum) * (
+            gt[:, :, 2:3] - gt[:, :, 0:1])
+        gk[:, :, :, 1] = gt[:, :, 1:2] + rng.rand(b, g, pnum) * (
+            gt[:, :, 3:4] - gt[:, :, 1:2])
+        gk[:, :, :, 2] = 2.0
+        batch["gt_keypoints"] = gk
+        batch["gt_classes"] = np.ones((b, g), np.int32)  # person-only preset
     if masks:
         batch["gt_masks"] = (
             rng.rand(b, g, GT_RASTER_RES, GT_RASTER_RES) > 0.5

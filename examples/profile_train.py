@@ -30,7 +30,8 @@ def main():
     b = int(os.environ.get("PROFILE_TRAIN_BATCH", "16"))
     r = 512
     h, w = 832, 1344
-    cfg = PRESETS["fast_rcnn_R-50-FPN_2x"]
+    cfg = PRESETS[os.environ.get("PROFILE_TRAIN_PRESET",
+                                 "fast_rcnn_R-50-FPN_2x")]
     k = cfg.num_classes
     print(f"devices: {jax.devices()}  batch={b} rois={r} blob={h}x{w}",
           flush=True)

@@ -202,3 +202,36 @@ def test_train_fast_cli_e2e_masks_device_preprocess(tmp_path):
     assert "loss_mask" in r.stdout
     assert "loss_rpn_cls" in r.stdout
     assert "saved" in r.stdout
+
+
+def test_make_proposals_cli_roundtrip(tiny_dataset, exported_weights,
+                                      tmp_path):
+    """tools/make_proposals.py: our RPN writes a Detectron-schema proposal
+    pkl (the workflow the reference can only consume, never produce), and
+    get_roidb(proposal_file=...) round-trips it."""
+    from detectorch_tpu.data.coco import CocoDataset
+
+    ann, imdir = tiny_dataset
+    out = str(tmp_path / "props.pkl")
+    env = dict(os.environ, DETECTORCH_CPU="1")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "make_proposals.py"),
+         "--preset", "e2e_faster_rcnn_R-50-FPN_2x",
+         "--weights", exported_weights, "--ann", ann, "--imdir", imdir,
+         "--out", out, "--fp32"],
+        capture_output=True, text=True, timeout=1800, env=env, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "wrote" in r.stdout
+
+    import pickle
+
+    with open(out, "rb") as f:
+        props = pickle.load(f)
+    assert set(props) == {"boxes", "ids"} and len(props["ids"]) == 2
+    assert all(b.shape[1] == 4 and len(b) > 0 for b in props["boxes"])
+
+    ds = CocoDataset(ann, imdir)
+    roidb = ds.get_roidb(gt=True, proposal_file=out)
+    # proposals merged behind the gt rows with class 0
+    assert all((e.gt_classes == 0).sum() > 0 for e in roidb)
