@@ -483,3 +483,32 @@ def test_e2e_device_preprocess_step(rng):
     for k in ("loss", "loss_rpn_cls", "loss_rpn_bbox", "loss_cls",
               "loss_bbox"):
         assert np.isfinite(float(metrics[k])), k
+
+
+def test_e2e_mask_train_step_c4_runs(rng):
+    """C4 flavour of e2e mask training: res5 box head + 'upshare' mask
+    trunk with matmul RoIAlign, targets still crop-resized on device."""
+    cfg = PRESETS["e2e_mask_rcnn_R-50-C4_2x"].replace(compute_dtype="float32")
+    params = init_params(cfg, seed=0)
+    init_state, make_step = E.make_e2e_train_step(
+        cfg, SolverConfig(base_lr=1e-4, warmup_iters=0, weight_decay=0.0),
+        SamplerConfig(rois_per_image=16), seed=5,
+        train_pre_nms=200, train_post_nms=48, train_mask=True,
+    )
+    state, tx = init_state(params)
+    step = jax.jit(make_step(tx))
+    image = rng.randn(64, 80, 3).astype(np.float32)
+    gt, gcls, gvalid, gm, gmv = _mask_gt_batch(rng)
+    batch = {
+        "image": image[None],
+        "gt_boxes": gt,
+        "gt_classes": gcls,
+        "gt_valid": gvalid,
+        "gt_masks": gm,
+        "gt_mask_valid": gmv,
+        "info": np.asarray([[64.0, 80.0, 1.0]], np.float32),
+    }
+    state, metrics = step(state, batch)
+    for k in ("loss", "loss_rpn_cls", "loss_rpn_bbox", "loss_cls",
+              "loss_bbox", "loss_mask"):
+        assert np.isfinite(float(metrics[k])), k
