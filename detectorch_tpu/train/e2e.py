@@ -213,9 +213,16 @@ def mask_targets_device(gt_rasters, gt_boxes, gt_inds, rois,
     segm, gt_box, Mg) host-side; gt_boxes (G, 4) SAME coordinate frame as
     rois; gt_inds (R,) int32 assigned gt per roi; rois (R, 4).
     Returns (R, M, M) float32 {0,1}.
-    """
-    from jax.scipy import ndimage
 
+    Formulation: bilinear interpolation is separable, so the crop is two
+    small matmuls per roi — vals = Wv @ raster @ Wu^T with weight rows
+    max(0, 1 - |coord - k|) (exactly the two-tap bilinear weights, with
+    coords outside [-1, Mg] getting all-zero rows = the constant-0
+    out-of-box padding; the gt box is the polygon's tight bounding box,
+    so the mask is identically 0 there). This runs on the MXU; the
+    equivalent per-element map_coordinates gather form measured 36 ms of
+    VPU address-generation per e2e Mask train step (batch 8, PERF.md).
+    """
     mg = gt_rasters.shape[-1]
     rast = gt_rasters[gt_inds].astype(jnp.float32)          # (R, Mg, Mg)
     gb = gt_boxes[gt_inds]
@@ -233,15 +240,11 @@ def mask_targets_device(gt_rasters, gt_boxes, gt_inds, rois,
     u = (xs - gb[:, 0:1]) * mg / gw[:, None]
     v = (ys - gb[:, 1:2]) * mg / gh[:, None]
 
-    def crop(r, vv, uu):
-        yy = jnp.broadcast_to(vv[:, None], (resolution, resolution))
-        xx = jnp.broadcast_to(uu[None, :], (resolution, resolution))
-        # zero outside the gt box: the gt box is the polygon's tight
-        # bounding box, so the mask is identically 0 there
-        return ndimage.map_coordinates(r, [yy, xx], order=1,
-                                       mode="constant", cval=0.0)
-
-    vals = jax.vmap(crop)(rast, v, u)
+    k = jnp.arange(mg, dtype=jnp.float32)
+    wu = jnp.maximum(0.0, 1.0 - jnp.abs(u[:, :, None] - k))  # (R, M, Mg)
+    wv = jnp.maximum(0.0, 1.0 - jnp.abs(v[:, :, None] - k))
+    vals = jnp.einsum("rim,rmn,rjn->rij", wv, rast, wu,
+                      precision=jax.lax.Precision.HIGHEST)
     return (vals >= thresh).astype(jnp.float32)
 
 

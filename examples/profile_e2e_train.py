@@ -41,6 +41,19 @@ def main():
           f"masks={masks} keypoints={kps}", flush=True)
 
     impl = os.environ.get("PROFILE_E2E_ROIALIGN", "gather")
+    # PROFILE_E2E_MASK_TARGETS=const replaces the device-side crop-resize
+    # target computation (mask_targets_device) with a constant so XLA
+    # dead-code-eliminates it — bisects the mask branch's step cost into
+    # target-computation vs head(+RoIAlign) fwd/bwd.
+    if masks and os.environ.get("PROFILE_E2E_MASK_TARGETS", "") == "const":
+        from detectorch_tpu.train import e2e as _e2e
+
+        def _const_targets(gt_rasters, gt_boxes, gt_inds, rois, resolution):
+            return jnp.zeros((rois.shape[0], resolution, resolution),
+                             jnp.float32)
+
+        _e2e.mask_targets_device = _const_targets
+        print("mask targets: CONST (crop-resize DCE'd)", flush=True)
     params = init_params(cfg, seed=0)
     init_state, make_step = make_e2e_train_step(
         cfg, SolverConfig(), SamplerConfig(), seed=0, train_mask=masks,

@@ -204,6 +204,33 @@ def test_train_fast_cli_e2e_masks_device_preprocess(tmp_path):
     assert "saved" in r.stdout
 
 
+def test_train_fast_cli_e2e_keypoints(tmp_path):
+    """--e2e --keypoints: e2e Keypoint R-CNN — joint RPN + box + KRCNN
+    branch with heatmap bin labels computed on device for the jit-sampled
+    rois (completes the e2e CLI family: Faster / Mask / Keypoint)."""
+    from detectorch_tpu.data.synth import build_synth_coco
+
+    ann, imdir = build_synth_coco(
+        str(tmp_path / "ds"), n_images=2, height=96, width=128, seed=13,
+        with_keypoints=True,
+    )
+    out = str(tmp_path / "run")
+    env = dict(os.environ, DETECTORCH_CPU="1")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "train_fast.py"),
+         "--ann", ann, "--imdir", imdir, "--e2e", "--keypoints",
+         "--out", out, "--max-iter", "2",
+         "--checkpoint-period", "2", "--log-period", "1",
+         "--base-lr", "0.001", "--target-size", "96", "--max-size", "128",
+         "--blob", "96", "128", "--rois-per-image", "16"],
+        capture_output=True, text=True, timeout=1800, env=env, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "loss_kps" in r.stdout
+    assert "loss_rpn_cls" in r.stdout
+    assert "saved" in r.stdout
+
+
 def test_make_proposals_cli_roundtrip(tiny_dataset, exported_weights,
                                       tmp_path):
     """tools/make_proposals.py: our RPN writes a Detectron-schema proposal

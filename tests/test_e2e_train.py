@@ -287,6 +287,54 @@ def test_mask_targets_device_match_host(rng, resolution):
     assert ious.min() > (0.85 if resolution == 28 else 0.75), ious.min()
 
 
+def test_mask_targets_separable_matches_gather(rng):
+    """The separable-matmul crop (MXU form, round 4) must reproduce the
+    per-element bilinear gather (map_coordinates, the original
+    formulation) on the interpolated VALUES — same two-tap weights, same
+    constant-0 out-of-box padding — so the binarized targets can only
+    differ where a value sits within fp rounding of the threshold."""
+    from jax.scipy import ndimage
+
+    mg = E.GT_RASTER_RES
+    g, r, m = 6, 48, 28
+    rast = (rng.rand(g, mg, mg) > 0.5).astype(np.uint8)
+    gb = np.zeros((g, 4), np.float32)
+    gb[:, 0] = rng.uniform(0, 60, g)
+    gb[:, 1] = rng.uniform(0, 60, g)
+    gb[:, 2] = gb[:, 0] + rng.uniform(8, 80, g)
+    gb[:, 3] = gb[:, 1] + rng.uniform(8, 80, g)
+    gi = rng.randint(0, g, r).astype(np.int32)
+    rois = gb[gi] + rng.uniform(-20, 20, (r, 4)).astype(np.float32)
+
+    dev = np.asarray(E.mask_targets_device(
+        jnp.asarray(rast), jnp.asarray(gb), jnp.asarray(gi),
+        jnp.asarray(rois), m))
+
+    # gather reference (the pre-round-4 formulation, inlined)
+    gw = np.maximum(gb[gi, 2] - gb[gi, 0], 1.0)
+    gh = np.maximum(gb[gi, 3] - gb[gi, 1], 1.0)
+    rw = np.maximum(rois[:, 2] - rois[:, 0], 1.0)
+    rh = np.maximum(rois[:, 3] - rois[:, 1], 1.0)
+    j = np.arange(m, dtype=np.float32) / m
+    u = (rois[:, 0:1] + j[None] * rw[:, None] - gb[gi, 0:1]) * mg / gw[:, None]
+    v = (rois[:, 1:2] + j[None] * rh[:, None] - gb[gi, 1:2]) * mg / gh[:, None]
+
+    def crop(rr, vv, uu):
+        yy = jnp.broadcast_to(jnp.asarray(vv)[:, None], (m, m))
+        xx = jnp.broadcast_to(jnp.asarray(uu)[None, :], (m, m))
+        return ndimage.map_coordinates(jnp.asarray(rr, jnp.float32),
+                                       [yy, xx], order=1,
+                                       mode="constant", cval=0.0)
+
+    ref_vals = np.stack([np.asarray(crop(rast[gi[i]], v[i], u[i]))
+                         for i in range(r)])
+    ref = (ref_vals >= E.GT_RASTER_THRESH).astype(np.float32)
+    disagree = dev != ref
+    # only fp-rounding boundary pixels may flip
+    assert np.all(np.abs(ref_vals[disagree] - E.GT_RASTER_THRESH) < 1e-4), (
+        int(disagree.sum()), np.abs(ref_vals[disagree] - E.GT_RASTER_THRESH).max())
+
+
 def test_mask_targets_device_scale_invariant(rng):
     """The crop mapping is frame-free: scaling rois+gt boxes by the image
     scale leaves the targets identical (the host rasterises wrt the
