@@ -412,28 +412,136 @@ def multilevel_roi_align(
     return summed * inv_count[:, None, None, None]
 
 
+def multilevel_roi_align_feature_grad(
+    g,
+    feature_shapes: Sequence[Tuple[int, int, int]],
+    rois,
+    levels,
+    level_scales: Sequence[float],
+    pooled_h: int,
+    pooled_w: int,
+    sampling_ratio: int = 2,
+    max_grid: int = 8,
+    roi_chunk: int = 128,
+    tmp_dtype=jnp.bfloat16,
+    precision=jax.lax.Precision.DEFAULT,
+):
+    """Feature gradient of multilevel RoIAlign as per-level MXU matmuls.
+
+    RoIAlign is separable (see roi_align_matmul): for a roi on level l,
+    out_n = inv_count_n * Ky_n @ F_l @ Kx_nᵀ with dense per-axis hat-weight
+    matrices Ky (PH, H_l), Kx (PW, W_l). Hence the cotangent wrt F_l is
+
+        dF_l = Σ_{n: levels[n]=l}  inv_count_n * Ky_nᵀ @ g_n @ Kx_n
+
+    — two einsums per level, all MXU work. This replaces the gather form's
+    VJP, whose jnp.take backward is a scatter-add over N*PH*PW*S*S*4
+    duplicate row indices per image (VPU/serialization-bound on TPU, the
+    same lesson as the forward kernel studies: computed-index scatter loses
+    to a matmul reformulation).
+
+    g: (N, PH, PW, C) cotangent; feature_shapes: [(H_l, W_l, C)]. Rois not
+    assigned to level l contribute zero via a masked Ky row. Returns a list
+    of (H_l, W_l, C) float32 gradients.
+
+    tmp_dtype/precision: the two contractions run at bf16 inputs with fp32
+    accumulation by default (preferred_element_type below) — the consumers
+    cast the result to the bf16 compute dtype anyway (the FPN neck runs
+    bf16), so the only loss vs the fp32 scatter is bf16 rounding of the
+    hat weights (<0.4% relative). Pass tmp_dtype=jnp.float32 +
+    precision=HIGHEST for near-exact gradients (tests do).
+    """
+    n = rois.shape[0]
+    g32 = g.astype(tmp_dtype)
+    grads = []
+    for lvl, (height, width, _) in enumerate(feature_shapes):
+        start_h, start_w, bin_h, bin_w, grid_h, grid_w = _roi_geometry(
+            rois, float(level_scales[lvl]), pooled_h, pooled_w,
+            sampling_ratio, max_grid,
+        )
+        mg = sampling_ratio if sampling_ratio > 0 else max_grid
+        ys = _sample_coords(start_h, bin_h, grid_h, pooled_h, mg)
+        xs = _sample_coords(start_w, bin_w, grid_w, pooled_w, mg)
+        ky = _axis_weights_dense(ys, grid_h, height, mg)   # (N, PH, H)
+        kx = _axis_weights_dense(xs, grid_w, width, mg)    # (N, PW, W)
+        inv_count = 1.0 / (grid_h * grid_w).astype(jnp.float32)
+        sel = jnp.where(levels == lvl, inv_count, 0.0)
+        ky = (ky * sel[:, None, None]).astype(tmp_dtype)
+        kx = kx.astype(tmp_dtype)
+
+        def contract(ky_c, kx_c, g_c):
+            # (n,PH,H)x(n,PH,PW,C) -> (n,H,PW,C): small-K batched matmul
+            tmp = jnp.einsum("nph,npqc->nhqc", ky_c, g_c,
+                             preferred_element_type=tmp_dtype,
+                             precision=precision)
+            # (n,H,PW,C)x(n,PW,W) -> (H,W,C): one big matmul, K = n*PW
+            return jnp.einsum("nhqc,nqw->hwc", tmp, kx_c,
+                              preferred_element_type=jnp.float32,
+                              precision=precision)
+
+        if roi_chunk <= 0 or n <= roi_chunk:
+            acc = contract(ky, kx, g32)
+        else:
+            pad = (-n) % roi_chunk
+            kyp = jnp.pad(ky, ((0, pad), (0, 0), (0, 0)))
+            kxp = jnp.pad(kx, ((0, pad), (0, 0), (0, 0)))
+            gp = jnp.pad(g32, ((0, pad), (0, 0), (0, 0), (0, 0)))
+            chunks = (n + pad) // roi_chunk
+            kyp = kyp.reshape(chunks, roi_chunk, *ky.shape[1:])
+            kxp = kxp.reshape(chunks, roi_chunk, *kx.shape[1:])
+            gp = gp.reshape(chunks, roi_chunk, *g32.shape[1:])
+
+            def body(acc, abc):
+                return acc + contract(*abc), None
+
+            acc, _ = jax.lax.scan(
+                body, jnp.zeros((height, width, g.shape[-1]), jnp.float32),
+                (kyp, kxp, gp),
+            )
+        grads.append(acc)
+    return grads
+
+
+BWD_PRECISIONS = {
+    # tmp/operand dtype, dot precision for the matmul backward
+    "bf16": (jnp.bfloat16, jax.lax.Precision.DEFAULT),
+    "high": (jnp.float32, jax.lax.Precision.HIGH),
+    "highest": (jnp.float32, jax.lax.Precision.HIGHEST),
+}
+
+
 def make_multilevel_roi_align_fused(
     level_scales: Sequence[float],
     pooled_h: int,
     pooled_w: int,
     sampling_ratio: int = 2,
+    bwd: str = "gather",
+    bwd_precision: str = "bf16",
 ):
-    """Training-path RoIAlign: Pallas slab-DMA FORWARD + gather-form VJP.
+    """Training-path RoIAlign: Pallas slab-DMA FORWARD + a choice of VJP.
 
     Inference measured the Pallas kernel at ~2x the gather formulation's
     end-to-end throughput (PERF.md); training kept the gather form because
     the kernel has no backward. This wrapper gives the train step the fast
-    forward while the backward differentiates the (mathematically
-    identical) gather formulation — the cotangent is exact for every roi
-    whose footprint fits the slab.
+    forward while the backward evaluates a mathematically identical
+    formulation — the cotangent is exact for every roi whose footprint
+    fits the slab.
+
+    bwd: 'gather' differentiates the gather formulation (fp32 scatter-add,
+    bit-faithful to the reference's roi_align_backward_cuda.cu semantics);
+    'matmul' uses the separable-matmul feature gradient
+    (multilevel_roi_align_feature_grad — MXU work instead of scatter,
+    measured faster on TPU, bf16-rounded weights); 'none' returns zero
+    feature gradients (profiling only — isolates the backward's cost).
 
     Caveat (documented, matching the inference architecture): rois whose
     sampling footprint exceeds the 64-slab (extreme >~4:1 aspect ratios on
     their assigned FPN level) get crop-clamped forward VALUES; inference
     re-runs such images exactly, training accepts the bounded error on
-    those rare rois (the gradient still flows through the exact gather
-    VJP). Returns fn(feature_list, rois, levels) -> (N, PH, PW, C) fp32.
+    those rare rois (the gradient still flows through the exact VJP).
+    Returns fn(feature_list, rois, levels) -> (N, PH, PW, C) fp32.
     """
+    assert bwd in ("gather", "matmul", "none"), bwd
 
     @jax.custom_vjp
     def fn(feature_list, rois, levels):
@@ -450,17 +558,30 @@ def make_multilevel_roi_align_fused(
     def fwd(feature_list, rois, levels):
         return fn(feature_list, rois, levels), (feature_list, rois, levels)
 
-    def bwd(res, g):
+    def bwd_fn(res, g):
         feature_list, rois, levels = res
-        _, vjp = jax.vjp(
-            lambda fl: multilevel_roi_align(
-                fl, rois, levels, level_scales,
-                pooled_h, pooled_w, sampling_ratio,
-            ),
-            feature_list,
-        )
-        (g_feats,) = vjp(g.astype(jnp.float32))
-        g_feats = [gf.astype(f.dtype) for gf, f in zip(g_feats, feature_list)]
+        if bwd == "none":
+            g_feats = [jnp.zeros_like(f) for f in feature_list]
+        elif bwd == "matmul":
+            tmp_dtype, prec = BWD_PRECISIONS[bwd_precision]
+            g_feats = multilevel_roi_align_feature_grad(
+                g, [f.shape for f in feature_list], rois, levels,
+                level_scales, pooled_h, pooled_w, sampling_ratio,
+                tmp_dtype=tmp_dtype, precision=prec,
+            )
+            g_feats = [gf.astype(f.dtype)
+                       for gf, f in zip(g_feats, feature_list)]
+        else:
+            _, vjp = jax.vjp(
+                lambda fl: multilevel_roi_align(
+                    fl, rois, levels, level_scales,
+                    pooled_h, pooled_w, sampling_ratio,
+                ),
+                feature_list,
+            )
+            (g_feats,) = vjp(g.astype(jnp.float32))
+            g_feats = [gf.astype(f.dtype)
+                       for gf, f in zip(g_feats, feature_list)]
         # rois/levels are not differentiated (levels is integral; roi
         # coordinates receive no gradient in the reference either —
         # roi_align_backward_cuda.cu computes grad wrt features only)
@@ -468,7 +589,7 @@ def make_multilevel_roi_align_fused(
         zero_levels = np.zeros(levels.shape, dtype=jax.dtypes.float0)
         return (g_feats, zero_rois, zero_levels)
 
-    fn.defvjp(fwd, bwd)
+    fn.defvjp(fwd, bwd_fn)
     return fn
 
 

@@ -558,10 +558,13 @@ def make_e2e_train_step(cfg: ModelConfig, solver_cfg=None,
         assert cfg.keypoint is not None, (
             "train_keypoints=True needs the keypoint preset")
     fused = None
-    if roi_align_impl == "pallas":
+    if roi_align_impl.startswith("pallas"):
+        # see train_step.make_train_step: 'pallas' | 'pallas-mm' | 'pallas-zero'
         assert cfg.use_fpn, "the Pallas slab kernel is the FPN path"
         from detectorch_tpu.ops.roi_align import make_multilevel_roi_align_fused
 
+        bwd = {"pallas": "gather", "pallas-mm": "matmul",
+               "pallas-zero": "none"}[roi_align_impl]
         sizes = {cfg.roi_size}
         if train_mask:
             sizes.add(cfg.mask.roi_size)
@@ -569,7 +572,7 @@ def make_e2e_train_step(cfg: ModelConfig, solver_cfg=None,
             sizes.add(cfg.keypoint.roi_size)
         fused = {
             s: make_multilevel_roi_align_fused(
-                cfg.fpn_spatial_scales, s, s, cfg.roi_sampling_ratio)
+                cfg.fpn_spatial_scales, s, s, cfg.roi_sampling_ratio, bwd=bwd)
             for s in sizes
         }
     elif roi_align_impl != "gather":

@@ -198,13 +198,18 @@ def make_train_step(cfg: ModelConfig, solver_cfg: SolverConfig = SolverConfig(),
     if train_mask:
         assert cfg.use_mask, "train_mask=True needs a mask preset"
     fused = None
-    if roi_align_impl == "pallas":
+    if roi_align_impl.startswith("pallas"):
+        # 'pallas' = Pallas fwd + gather-form VJP; 'pallas-mm' = Pallas fwd
+        # + separable-matmul VJP (MXU instead of scatter, measured faster);
+        # 'pallas-zero' = zero VJP (profiling only).
         assert cfg.use_fpn, "the Pallas slab kernel is the FPN path"
         from detectorch_tpu.ops.roi_align import make_multilevel_roi_align_fused
 
+        bwd = {"pallas": "gather", "pallas-mm": "matmul",
+               "pallas-zero": "none"}[roi_align_impl]
         fused = make_multilevel_roi_align_fused(
             cfg.fpn_spatial_scales, cfg.roi_size, cfg.roi_size,
-            cfg.roi_sampling_ratio,
+            cfg.roi_sampling_ratio, bwd=bwd,
         )
     elif roi_align_impl != "gather":
         raise ValueError(f"unknown roi_align_impl {roi_align_impl!r}")

@@ -54,6 +54,41 @@ def main():
 
         _e2e.mask_targets_device = _const_targets
         print("mask targets: CONST (crop-resize DCE'd)", flush=True)
+    # Keypoint-branch bisection (PROFILE_E2E_KP_STAGE):
+    #   const-labels — replace keypoint_labels_device with constants so XLA
+    #     DCEs the on-device heatmap binning (isolates label-computation);
+    #   no-loss — replace the spatial-softmax loss with a mean over the
+    #     heatmap logits (isolates softmax-CE fwd/bwd; the trunk still runs);
+    #   short-trunk — run the head with 2 convs instead of 8 (6 conv layers'
+    #     fwd+bwd cost = (full - this) * 8/6 per-layer estimate).
+    kp_stage = os.environ.get("PROFILE_E2E_KP_STAGE", "")
+    if kps and kp_stage == "const-labels":
+        from detectorch_tpu.train import e2e as _e2e
+
+        def _const_labels(kp, krois, heatmap_size):
+            n, p = kp.shape[0], kp.shape[1]
+            return (jnp.zeros((n, p), jnp.int32), jnp.ones((n, p), bool))
+
+        _e2e.keypoint_labels_device = _const_labels
+        print("kp labels: CONST (device binning DCE'd)", flush=True)
+    if kps and kp_stage == "no-loss":
+        from detectorch_tpu.train import losses as _losses
+
+        def _mean_loss(heatmaps, labels, valid, loss_weight=1.0):
+            return jnp.mean(heatmaps.astype(jnp.float32))
+
+        _losses.keypoint_loss = _mean_loss
+        print("kp loss: MEAN (spatial softmax removed)", flush=True)
+    if kps and kp_stage == "short-trunk":
+        from detectorch_tpu.models import heads as _heads
+
+        _orig_kp_head = _heads.keypoint_head
+
+        def _short_head(params, roi_feats, num_convs=8):
+            return _orig_kp_head(params, roi_feats, num_convs=2)
+
+        _heads.keypoint_head = _short_head
+        print("kp trunk: 2 convs instead of 8", flush=True)
     params = init_params(cfg, seed=0)
     init_state, make_step = make_e2e_train_step(
         cfg, SolverConfig(), SamplerConfig(), seed=0, train_mask=masks,

@@ -114,15 +114,37 @@ def main():
         print(f"[{tag}] steady: {dt * 1e3:.1f} ms/step", flush=True)
         return dt
 
-    a = time_step_program("A full/gather", "gather")
-    bt = time_step_program("B full/pallas-fwd", "pallas")
-    c = time_backbone_bwd("C backbone+neck f+b")
+    stages = os.environ.get(
+        "PROFILE_TRAIN_STAGES", "A,B,C,D,E").split(",")
+    a = time_step_program("A full/gather", "gather") if "A" in stages else None
+    bt = (time_step_program("B full/pallas-fwd", "pallas")
+          if "B" in stages else None)
+    c = time_backbone_bwd("C backbone+neck f+b") if "C" in stages else None
+    # D: Pallas fwd + ZERO RoIAlign backward. NOT a clean isolate of the
+    # RoIAlign backward: a zero cotangent into the pyramid lets XLA fold
+    # away the BACKBONE backward too (all backbone grads flow through
+    # RoIAlign in this model), so D is a lower bound on everything-else.
+    # The honest backward comparison is B vs E (same graph, different VJP).
+    d = (time_step_program("D pallas-fwd/zero-bwd", "pallas-zero")
+         if "D" in stages else None)
+    e = (time_step_program("E pallas-fwd/matmul-bwd", "pallas-mm")
+         if "E" in stages else None)
     print(f"\nstage table (batch {b}):", flush=True)
-    print(f"  backbone+neck fwd+bwd : {c*1e3:8.1f} ms ({100*c/a:.0f}%)")
-    print(f"  roialign+head+loss+opt: {(a-c)*1e3:8.1f} ms ({100*(a-c)/a:.0f}%)")
-    print(f"  full (gather)         : {a*1e3:8.1f} ms")
-    print(f"  full (pallas fwd)     : {bt*1e3:8.1f} ms "
-          f"({100*(a-bt)/a:+.1f}% vs gather)")
+    if c and a:
+        print(f"  backbone+neck fwd+bwd : {c*1e3:8.1f} ms ({100*c/a:.0f}%)")
+        print(f"  roialign+head+loss+opt: {(a-c)*1e3:8.1f} ms "
+              f"({100*(a-c)/a:.0f}%)")
+    if a:
+        print(f"  full (gather)         : {a*1e3:8.1f} ms")
+    if bt and a:
+        print(f"  full (pallas fwd)     : {bt*1e3:8.1f} ms "
+              f"({100*(a-bt)/a:+.1f}% vs gather)")
+    if d and bt:
+        print(f"  full (zero roi-bwd)   : {d*1e3:8.1f} ms "
+              f"(lower bound; XLA folds the backbone bwd away with it)")
+    if e and bt:
+        print(f"  full (matmul roi-bwd) : {e*1e3:8.1f} ms "
+              f"({100*(bt-e)/bt:+.1f}% vs gather-bwd)")
 
 
 if __name__ == "__main__":

@@ -148,3 +148,50 @@ def test_matmul_roi_chunking_exact(rng):
     a = R.roi_align_matmul(feats, rois, 7, 7, 1.0 / 16, 2, roi_chunk=16)
     b = R.roi_align_matmul(feats, rois, 7, 7, 1.0 / 16, 2, roi_chunk=0)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_feature_grad_matmul_matches_gather_vjp(rng):
+    """multilevel_roi_align_feature_grad (separable-matmul backward) must
+    equal the gather formulation's VJP at the fp32/HIGHEST tier — including
+    level masking, chunking (N > roi_chunk), and out-of-image samples."""
+    import jax.numpy as jnp
+
+    shapes = [(16, 20), (8, 10), (4, 5)]
+    c = 8
+    feats = [rng.randn(h, w, c).astype(np.float32) for h, w in shapes]
+    scales = (0.25, 0.125, 0.0625)
+    n = 9
+    rois = np.stack([
+        rng.uniform(-8, 30, n), rng.uniform(-8, 30, n),
+        rng.uniform(32, 80, n), rng.uniform(32, 80, n),
+    ], axis=1).astype(np.float32)
+    levels = rng.randint(0, 3, n).astype(np.int32)
+    g = rng.randn(n, 7, 7, c).astype(np.float32)
+
+    jf = [jnp.asarray(f) for f in feats]
+    _, vjp = jax.vjp(
+        lambda fl: R.multilevel_roi_align(
+            fl, jnp.asarray(rois), jnp.asarray(levels), scales, 7, 7, 2),
+        jf,
+    )
+    (want,) = vjp(jnp.asarray(g))
+
+    got = R.multilevel_roi_align_feature_grad(
+        jnp.asarray(g), [f.shape for f in feats], jnp.asarray(rois),
+        jnp.asarray(levels), scales, 7, 7, 2,
+        roi_chunk=4,  # forces the chunked-scan path incl. the padded tail
+        tmp_dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+    # the production bf16 tier: same answer to ~bf16 rounding of the weights
+    fast = R.multilevel_roi_align_feature_grad(
+        jnp.asarray(g), [f.shape for f in feats], jnp.asarray(rois),
+        jnp.asarray(levels), scales, 7, 7, 2,
+    )
+    for a, b in zip(fast, want):
+        scale = np.abs(np.asarray(b)).max() + 1e-6
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=2e-2)

@@ -472,3 +472,60 @@ def test_train_step_pallas_roi_align_matches_gather(rng):
     mp = run("pallas")
     for key in ("loss", "loss_cls", "loss_bbox"):
         np.testing.assert_allclose(mp[key], mg[key], rtol=1e-4, atol=1e-5)
+
+
+def test_train_step_matmul_bwd_matches_gather(rng):
+    """roi_align_impl='pallas-mm' (slab forward + separable-MATMUL VJP;
+    replaces the gather VJP's scatter-add, measured -30% step time on TPU).
+    Losses are forward-path (must match 'pallas' exactly); the backward
+    difference is bf16 rounding of the hat weights, so the parameter UPDATE
+    through the RoIAlign (the FPN laterals — their only gradient path is
+    the RoIAlign cotangent) must agree in direction and magnitude."""
+    import jax
+
+    from detectorch_tpu.config import PRESETS, SolverConfig
+    from detectorch_tpu.models.detector import init_params
+    from detectorch_tpu.train.train_step import make_train_step
+
+    cfg = PRESETS["fast_rcnn_R-50-FPN_2x"].replace(compute_dtype="float32")
+    params = init_params(cfg, seed=0)
+    b, r, k = 1, 16, cfg.num_classes
+    rois = np.stack([
+        np.stack([
+            rng.uniform(0, 40, r), rng.uniform(0, 30, r),
+            rng.uniform(48, 120, r), rng.uniform(40, 60, r),
+        ], axis=1)
+    ]).astype(np.float32)
+    batch = {
+        "image": (rng.randn(b, 64, 128, 3) * 10).astype(np.float32),
+        "rois": rois,
+        "labels": rng.randint(0, k, (b, r)).astype(np.int32),
+        "bbox_targets": np.zeros((b, r, 4 * k), np.float32),
+        "bbox_inside_weights": np.zeros((b, r, 4 * k), np.float32),
+        "bbox_outside_weights": np.zeros((b, r, 4 * k), np.float32),
+        "valid": np.ones((b, r), bool),
+    }
+
+    def run(impl):
+        init_state, make_step = make_train_step(
+            cfg, SolverConfig(base_lr=1e-3, warmup_iters=0),
+            roi_align_impl=impl)
+        state, tx = init_state(params)
+        step = jax.jit(make_step(tx))
+        state, metrics = step(state, batch)
+        return ({kk: float(v) for kk, v in metrics.items()}, state.params)
+
+    mg, pg = run("gather")
+    mm, pm = run("pallas-mm")
+    for key in ("loss", "loss_cls", "loss_bbox"):
+        np.testing.assert_allclose(mm[key], mg[key], rtol=1e-4, atol=1e-5)
+
+    for leaf in ("fpn_inner_res4_5_sum_lateral_w", "fpn_res3_3_sum_w"):
+        dg = np.asarray(pg[leaf]) - np.asarray(params[leaf])
+        dm = np.asarray(pm[leaf]) - np.asarray(params[leaf])
+        assert np.abs(dg).max() > 0  # the update is non-trivial
+        cos = float((dg * dm).sum() /
+                    (np.linalg.norm(dg) * np.linalg.norm(dm) + 1e-30))
+        assert cos > 0.999, (leaf, cos)
+        np.testing.assert_allclose(np.linalg.norm(dm), np.linalg.norm(dg),
+                                   rtol=2e-2)

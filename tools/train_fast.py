@@ -52,12 +52,16 @@ def parse_args():
                    metavar=("H", "W"),
                    help="fixed training blob bucket (one compiled program)")
     p.add_argument("--rois-per-image", type=int, default=512)
-    p.add_argument("--roi-align", choices=["auto", "gather", "pallas"],
+    p.add_argument("--roi-align",
+                   choices=["auto", "gather", "pallas", "pallas-mm"],
                    default="auto",
                    help="training RoIAlign formulation (FPN only): "
-                        "'pallas' = slab-DMA forward + gather-form VJP, "
-                        "measured 19%% faster step on TPU; 'auto' picks "
-                        "pallas on TPU FPN, gather elsewhere")
+                        "'pallas' = slab-DMA forward + gather-form VJP "
+                        "(fp32 scatter backward); 'pallas-mm' = slab-DMA "
+                        "forward + separable-MATMUL VJP (bf16 MXU backward, "
+                        "measured -30%% step time vs 'pallas' on TPU, "
+                        "PERF.md round 4); 'auto' picks pallas-mm on TPU "
+                        "FPN, gather elsewhere")
     p.add_argument("--keypoints", action="store_true",
                    help="train the Keypoint R-CNN preset (box branch + "
                         "KRCNN keypoint head) from a person-keypoints "
@@ -149,9 +153,10 @@ def main():
     blob_hw = tuple(args.blob)  # one fixed training bucket -> one program
     roi_align_impl = args.roi_align
     if roi_align_impl == "auto":
-        # Pallas slab forward (19% faster step, PERF.md round 4) on TPU FPN;
-        # gather elsewhere (interpret-mode Pallas on CPU is slow)
-        roi_align_impl = ("pallas" if cfg.use_fpn
+        # Pallas slab forward + matmul VJP (178.8 -> 124.2 ms/step batch 8,
+        # PERF.md round 4) on TPU FPN; gather elsewhere (interpret-mode
+        # Pallas on CPU is slow)
+        roi_align_impl = ("pallas-mm" if cfg.use_fpn
                           and jax.default_backend() == "tpu" else "gather")
     if args.e2e:
         from detectorch_tpu.train.e2e import make_e2e_train_step
