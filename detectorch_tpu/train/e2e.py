@@ -34,13 +34,27 @@ from detectorch_tpu.ops.anchors import shifted_anchors
 from detectorch_tpu.train import losses
 
 
-def random_keep_mask(mask, k, key):
+def random_keep_mask(mask, k, key, max_keep=None):
     """Keep at most `k` (traced or static) True entries of `mask`, chosen
     uniformly without replacement (Detectron's npr.choice subsampling,
-    fixed-shape): rank masked entries by uniform priority, keep rank < k."""
+    fixed-shape): keep the k smallest uniform priorities among the masked
+    entries.
+
+    max_keep: static upper bound on k. When given, selection runs as
+    `lax.top_k(max_keep)` + a max_keep-row scatter instead of a full
+    argsort — on the 270k-anchor RPN target assignment this replaces two
+    full 270k sorts per call with 256-element top-ks (measured −7.9 ms
+    per e2e step, bit-identical losses; PERF.md round 4). Selection set
+    is identical: the k smallest of iid uniforms over the masked set is
+    a uniform k-subset either way.
+    """
     u = jnp.where(mask, jax.random.uniform(key, mask.shape), jnp.inf)
-    rank = jnp.argsort(jnp.argsort(u))
-    return mask & (rank < k)
+    n = mask.shape[0]
+    kmax = n if max_keep is None else int(min(max_keep, n))
+    _, sel = jax.lax.top_k(-u, kmax)
+    keep_sel = jnp.arange(kmax) < k
+    keep = jnp.zeros((n,), bool).at[sel].set(keep_sel)
+    return mask & keep
 
 
 def rpn_targets(
@@ -86,9 +100,9 @@ def rpn_targets(
 
     k1, k2 = jax.random.split(key)
     num_fg = int(fg_fraction * batch_size)
-    keep_pos = random_keep_mask(pos, num_fg, k1)
+    keep_pos = random_keep_mask(pos, num_fg, k1, max_keep=num_fg)
     n_neg = batch_size - keep_pos.sum()
-    keep_neg = random_keep_mask(neg, n_neg, k2)
+    keep_neg = random_keep_mask(neg, n_neg, k2, max_keep=batch_size)
 
     labels = jnp.where(keep_pos, 1, jnp.where(keep_neg, 0, -1)).astype(jnp.int32)
     targets = box_ops.bbox_transform_inv(
@@ -157,9 +171,9 @@ def sample_rois_device(
     r = cfg.rois_per_image
     fg_cap = int(round(cfg.fg_fraction * r))
     k1, k2, k3 = jax.random.split(key, 3)
-    keep_fg = random_keep_mask(fg, fg_cap, k1)
+    keep_fg = random_keep_mask(fg, fg_cap, k1, max_keep=fg_cap)
     n_bg = r - keep_fg.sum()
-    keep_bg = random_keep_mask(bg, n_bg, k2)
+    keep_bg = random_keep_mask(bg, n_bg, k2, max_keep=r)
 
     # fg rows first, then bg, then everything else; random tiebreak inside
     # each class mirrors npr.choice's unordered draw

@@ -17,3 +17,27 @@ def save_object(obj, file_name: str):
 def load_object(file_name: str):
     with open(file_name, "rb") as f:
         return pickle.load(f, encoding="latin1")
+
+
+def enable_persistent_compile_cache(cache_dir: str = None):
+    """Turn on jax's persistent XLA compilation cache.
+
+    Full-program compiles cost minutes (bench.py measured 244 s cold →
+    18.7 s warm through the remote compiler, PERF.md round 4); the cache
+    makes repeat CLI invocations pay execution time only. Default location
+    is `.jax_cache` at the repo root (gitignored) — the same directory
+    `bench.py` / `__graft_entry__.py` use, so CLIs share their entries.
+    No-op on jax builds without the persistent-cache config knobs.
+    """
+    import jax
+
+    if cache_dir is None:
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass

@@ -89,6 +89,42 @@ def main():
 
         _heads.keypoint_head = _short_head
         print("kp trunk: 2 convs instead of 8", flush=True)
+    # RPN-path bisection (PROFILE_E2E_RPN_STAGE):
+    #   const-proposals — replace train-count proposal generation (per-level
+    #     sigmoid + top-k 12000 + decode + NMS + collect) with a fixed box
+    #     grid so XLA DCEs it (the RPN losses and anchor targets still run);
+    #   const-rpn-targets — replace anchor target assignment (IoU of ~270k
+    #     anchors x 64 gts + subsampling) with constants (proposal
+    #     generation and the RPN losses still run).
+    rpn_stage = os.environ.get("PROFILE_E2E_RPN_STAGE", "")
+    if rpn_stage == "const-proposals":
+        from detectorch_tpu.models import rpn as _rpn
+
+        def _const_props(prob, dl, im_h, im_w, im_scale, *, post_nms_top_n,
+                         **kw):
+            n = post_nms_top_n
+            xy = (jnp.arange(n, dtype=jnp.float32)[:, None] % 37.0) * 8.0
+            boxes = jnp.concatenate([xy, xy, xy + 64.0, xy + 48.0], axis=1)
+            return _rpn.Proposals(
+                boxes, jnp.linspace(1.0, 0.0, n), jnp.ones((n,), bool))
+
+        _rpn.generate_proposals = _const_props
+        _rpn.collect_proposals = (
+            lambda lvl_props, post_nms_top_n=1000: _const_props(
+                None, None, None, None, None, post_nms_top_n=post_nms_top_n))
+        print("proposals: CONST (generation DCE'd)", flush=True)
+    if rpn_stage == "const-rpn-targets":
+        from detectorch_tpu.train import e2e as _e2e
+
+        def _const_rpn_targets(anchors, gt_boxes, gt_valid, im_h, im_w, key,
+                               **kw):
+            a = anchors.shape[0]
+            labels = jnp.where(jnp.arange(a) < 128, 1,
+                               jnp.where(jnp.arange(a) < 256, 0, -1))
+            return labels.astype(jnp.int32), jnp.zeros((a, 4), jnp.float32)
+
+        _e2e.rpn_targets = _const_rpn_targets
+        print("rpn targets: CONST (anchor assignment DCE'd)", flush=True)
     params = init_params(cfg, seed=0)
     init_state, make_step = make_e2e_train_step(
         cfg, SolverConfig(), SamplerConfig(), seed=0, train_mask=masks,

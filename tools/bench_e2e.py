@@ -28,6 +28,9 @@ def log(*a):
 
 
 def main():
+    from detectorch_tpu.utils.io import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=500)
     p.add_argument("--batch", type=int, default=8)

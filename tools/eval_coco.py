@@ -25,6 +25,9 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    from detectorch_tpu.utils.io import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--preset", required=True)
     p.add_argument("--weights", required=True,

@@ -104,6 +104,11 @@ def main():
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from detectorch_tpu.utils.io import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()  # repeat runs skip the minutes-long
+    # full-step compile (.jax_cache at the repo root, shared with bench.py)
+
     from detectorch_tpu.config import PRESETS, SamplerConfig, SolverConfig, TestConfig
     from detectorch_tpu.checkpoint import caffe2_import as c2
     from detectorch_tpu.checkpoint import store
