@@ -24,6 +24,15 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: the cost/timing programs here are the same
+    # HLO the round's earlier runs compiled, so warm repeats skip the
+    # multi-minute relay compile (same block as bench.py).
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "..", ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from detectorch_tpu.config import PRESETS, SamplerConfig, SolverConfig
     from detectorch_tpu.models.detector import init_params
     from detectorch_tpu.train.e2e import GT_RASTER_RES, make_e2e_train_step
@@ -133,6 +142,11 @@ def main():
     state, tx = init_state(params)
     step = jax.jit(make_step(tx))
 
+    # PROFILE_E2E_COST=1: print XLA's own cost analysis of the compiled
+    # step (FLOPs/step) instead of timing — the MFU numerator. Same
+    # methodology as examples/profile_mfu.py (no hand counting).
+    cost_mode = os.environ.get("PROFILE_E2E_COST", "") == "1"
+
     rng = np.random.RandomState(0)
     gt = np.zeros((b, g, 4), np.float32)
     gt[:, :, 0] = rng.uniform(0, w / 2, (b, g))
@@ -162,6 +176,17 @@ def main():
         ).astype(np.uint8)
         batch["gt_mask_valid"] = np.ones((b, g), bool)
     batch = {kk: jax.device_put(jnp.asarray(v)) for kk, v in batch.items()}
+
+    if cost_mode:
+        t0 = time.time()
+        cost = step.lower(state, batch).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", float("nan")))
+        print(f"XLA cost analysis: {flops / 1e12:.3f} TFLOP/step "
+              f"(batch {b}, {flops / b / 1e9:.1f} GFLOP/img; "
+              f"compile {time.time() - t0:.1f}s)", flush=True)
+        return
 
     t0 = time.time()
     state, metrics = step(state, batch)
