@@ -181,32 +181,50 @@ def init_box_head_params(box_head: str = "mlp", feat_ch: int = 1024,
 def init_keypoint_head_params(num_keypoints: int = 17, num_convs: int = 8,
                               conv_dim: int = 512, in_ch: int = 256,
                               seed: int = 6):
+    """He/MSRA init, matching upstream Detectron's MSRAFill on the KRCNN
+    trunk and deconv. Gaussian(0.01) here is a silent training killer: the
+    post-ReLU variance gain per 3x3x512 conv is 9*512*1e-4/2 ~ 0.23, so
+    after 8 layers the heatmap logits are ~1e-4-scale — the spatial softmax
+    sits at the uniform ln(56^2) plateau, and (unlike a sigmoid head) the
+    final deconv BIAS is constant across bins and cannot move a softmax, so
+    the loss is stuck with vanishing gradients (round-4 red test)."""
     rng = np.random.RandomState(seed)
     p = {}
     c = in_ch
     for i in range(1, num_convs + 1):
+        std = np.sqrt(2.0 / (3 * 3 * c))
         p[f"conv_fcn{i}_w"] = (
-            rng.randn(3, 3, c, conv_dim) * 0.01
+            rng.randn(3, 3, c, conv_dim) * std
         ).astype(np.float32)
         p[f"conv_fcn{i}_b"] = np.zeros(conv_dim, np.float32)
         c = conv_dim
+    # stride-2 4x4 deconv: each output pixel sums ceil(4/2)^2 = 4 taps over
+    # conv_dim channels -> fan_in 4*conv_dim
+    std = np.sqrt(2.0 / (4 * conv_dim))
     p["kps_score_lowres_w"] = (
-        rng.randn(conv_dim, num_keypoints, 4, 4) * 0.01
+        rng.randn(conv_dim, num_keypoints, 4, 4) * std
     ).astype(np.float32)
     p["kps_score_lowres_b"] = np.zeros(num_keypoints, np.float32)
     return p
 
 
 def init_mask_head_params(head_type: str = "1up4convs", num_classes: int = 81, seed: int = 4):
+    """He/MSRA init on the trunk convs + deconv, Gaussian(0.001) on the
+    logits — upstream Detectron's mask_rcnn_heads fills (MSRAFill /
+    GaussianFill). Same rationale as init_keypoint_head_params: scale-
+    preserving init keeps gradients alive through the trunk."""
     rng = np.random.RandomState(seed)
     p = {}
     trunk_out = 256 if head_type == "1up4convs" else 2048
     if head_type == "1up4convs":
+        std = np.sqrt(2.0 / (3 * 3 * 256))
         for i in range(1, 5):
-            p[f"_[mask]_fcn{i}_w"] = (rng.randn(3, 3, 256, 256) * 0.01).astype(np.float32)
+            p[f"_[mask]_fcn{i}_w"] = (rng.randn(3, 3, 256, 256) * std).astype(np.float32)
             p[f"_[mask]_fcn{i}_b"] = np.zeros(256, np.float32)
-    p["conv5_mask_w"] = (rng.randn(trunk_out, 256, 2, 2) * 0.01).astype(np.float32)
+    # stride-2 2x2 deconv: each output pixel sums 1 tap over trunk_out chans
+    std = np.sqrt(2.0 / trunk_out)
+    p["conv5_mask_w"] = (rng.randn(trunk_out, 256, 2, 2) * std).astype(np.float32)
     p["conv5_mask_b"] = np.zeros(256, np.float32)
-    p["mask_fcn_logits_w"] = (rng.randn(1, 1, 256, num_classes) * 0.01).astype(np.float32)
+    p["mask_fcn_logits_w"] = (rng.randn(1, 1, 256, num_classes) * 0.001).astype(np.float32)
     p["mask_fcn_logits_b"] = np.zeros(num_classes, np.float32)
     return p
