@@ -66,6 +66,47 @@ def _slab_axis_weights(coords, grid, origin, extent, slab: int, s: int):
     return jnp.sum(hat, axis=2)
 
 
+def slab_fits(rois, levels, level_shapes, level_scales: Sequence[float],
+              pooled_h: int, pooled_w: int, sampling_ratio: int = 2,
+              slab: int = 64):
+    """Per-roi exactness mask of the slab kernel, standalone: True where the
+    roi's sampling footprint fits the (slab, slab) VMEM window, i.e. the
+    kernel result is bit-exact caffe2 RoIAlign (same derivation as inside
+    multilevel_roi_align_pallas). Depends on the roi's extent on its
+    assigned level and only weakly on pooled_h/pooled_w (the last sample
+    sits bin/(2*s) inside the roi end, and larger pooled sizes shrink the
+    bin), so evaluating at the LARGEST pooled size in use gives a
+    conservative mask for every branch pooling the same rois.
+
+    level_shapes: (L, 2) int array-like of per-level (H, W). Used by the
+    training paths to surface `frac_rois_overflowed` as a metric (the
+    inference engine instead re-runs flagged images exactly —
+    eval/engine.py)."""
+    shapes = jnp.asarray(np.asarray(level_shapes, np.int32))
+    scales = jnp.asarray(np.asarray(level_scales, np.float32))
+    roi_scale = scales[levels]
+    lvl_h = shapes[levels, 0]
+    lvl_w = shapes[levels, 1]
+    s = sampling_ratio
+    start_h, start_w, bin_h, bin_w, grid_h, grid_w = _roi_geometry(
+        rois, roi_scale, pooled_h, pooled_w, s, s
+    )
+    ys = _sample_coords(start_h, bin_h, grid_h, pooled_h, s)
+    xs = _sample_coords(start_w, bin_w, grid_w, pooled_w, s)
+    y_min = jnp.clip(jnp.floor(ys[:, 0, 0]), 0.0,
+                     jnp.maximum(lvl_h - 1, 0).astype(jnp.float32))
+    x_min = jnp.clip(jnp.floor(xs[:, 0, 0]), 0.0,
+                     jnp.maximum(lvl_w - 1, 0).astype(jnp.float32))
+    y0 = (y_min.astype(jnp.int32) // 8) * 8
+    x0 = (x_min.astype(jnp.int32) // 8) * 8
+    y_last = jnp.clip(ys[:, -1, -1], 0.0, (lvl_h - 1).astype(jnp.float32))
+    x_last = jnp.clip(xs[:, -1, -1], 0.0, (lvl_w - 1).astype(jnp.float32))
+    return (
+        (jnp.floor(y_last).astype(jnp.int32) + 1 - y0 < slab)
+        & (jnp.floor(x_last).astype(jnp.int32) + 1 - x0 < slab)
+    )
+
+
 def multilevel_roi_align_pallas(
     feature_list,
     rois,

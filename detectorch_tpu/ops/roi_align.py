@@ -444,15 +444,17 @@ def multilevel_roi_align_feature_grad(
     assigned to level l contribute zero via a masked Ky row. Returns a list
     of (H_l, W_l, C) float32 gradients.
 
-    tmp_dtype/precision: the two contractions run at bf16 inputs with fp32
-    accumulation by default (preferred_element_type below) — the consumers
-    cast the result to the bf16 compute dtype anyway (the FPN neck runs
-    bf16), so the only loss vs the fp32 scatter is bf16 rounding of the
-    hat weights (<0.4% relative). Pass tmp_dtype=jnp.float32 +
-    precision=HIGHEST for near-exact gradients (tests do).
+    tmp_dtype/precision: by default the operands AND the (n, H, PW, C)
+    intermediate of the first contraction are bf16 (a deliberate HBM
+    saving — that intermediate is the largest tensor in the backward);
+    only the second contraction accumulates fp32. vs the fp32 scatter the
+    cost is bf16 rounding of the hat weights and of the intermediate
+    (update cosine > 0.999, test-pinned). Pass tmp_dtype=jnp.float32 +
+    precision=HIGHEST for near-exact gradients (tests do; the 'highest'
+    tier of BWD_PRECISIONS).
     """
     n = rois.shape[0]
-    g32 = g.astype(tmp_dtype)
+    g_tmp = g.astype(tmp_dtype)
     grads = []
     for lvl, (height, width, _) in enumerate(feature_shapes):
         start_h, start_w, bin_h, bin_w, grid_h, grid_w = _roi_geometry(
@@ -480,16 +482,16 @@ def multilevel_roi_align_feature_grad(
                               precision=precision)
 
         if roi_chunk <= 0 or n <= roi_chunk:
-            acc = contract(ky, kx, g32)
+            acc = contract(ky, kx, g_tmp)
         else:
             pad = (-n) % roi_chunk
             kyp = jnp.pad(ky, ((0, pad), (0, 0), (0, 0)))
             kxp = jnp.pad(kx, ((0, pad), (0, 0), (0, 0)))
-            gp = jnp.pad(g32, ((0, pad), (0, 0), (0, 0), (0, 0)))
+            gp = jnp.pad(g_tmp, ((0, pad), (0, 0), (0, 0), (0, 0)))
             chunks = (n + pad) // roi_chunk
             kyp = kyp.reshape(chunks, roi_chunk, *ky.shape[1:])
             kxp = kxp.reshape(chunks, roi_chunk, *kx.shape[1:])
-            gp = gp.reshape(chunks, roi_chunk, *g32.shape[1:])
+            gp = gp.reshape(chunks, roi_chunk, *g_tmp.shape[1:])
 
             def body(acc, abc):
                 return acc + contract(*abc), None

@@ -475,6 +475,30 @@ def e2e_losses(params, cfg: ModelConfig, sampler_cfg: SamplerConfig,
         "accuracy": acc,
     }
 
+    if fused_roi_align is not None:
+        # slab-overflow observability (see train_step.box_branch_loss): the
+        # fraction of sampled rois whose footprint exceeds the Pallas
+        # 64-slab and got crop-clamped features. Evaluated at the LARGEST
+        # pooled size any enabled branch uses — conservative for all of
+        # them (slab_fits docstring).
+        from detectorch_tpu.ops.pallas.roi_align_kernel import slab_fits
+
+        max_pooled = max(
+            [cfg.roi_size]
+            + ([cfg.mask.roi_size] if cfg.use_mask and extras
+               and "gt_masks" in extras else [])
+            + ([cfg.keypoint.roi_size] if cfg.keypoint is not None and extras
+               and "gt_keypoints" in extras else [])
+        )
+        fits = slab_fits(
+            rois, levels, [p.shape[1:3] for p in pyramid],
+            cfg.fpn_spatial_scales, max_pooled, max_pooled,
+            cfg.roi_sampling_ratio,
+        )
+        metrics["frac_rois_overflowed"] = (
+            jnp.sum(jnp.where(roi_valid, (~fits).astype(jnp.float32), 0.0))
+            / n_valid)
+
     extras = extras or {}
     fg_rows = int(round(sampler_cfg.fg_fraction * sampler_cfg.rois_per_image))
     fg_mask = (roi_labels[:fg_rows] > 0) & roi_valid[:fg_rows]
@@ -544,7 +568,8 @@ def make_e2e_train_step(cfg: ModelConfig, solver_cfg=None,
                         train_keypoints: bool = False,
                         device_input: bool = False,
                         blob_hw: Tuple[int, int] = (1344, 1344),
-                        roi_align_impl: str = "gather"):
+                        roi_align_impl: str = "gather",
+                        bwd_precision: str = "bf16"):
     """(init_state, make_step) for e2e training (RPN + box head, plus the
     mask / keypoint branches when enabled — the e2e_mask_rcnn /
     e2e_keypoint_rcnn families).
@@ -571,9 +596,16 @@ def make_e2e_train_step(cfg: ModelConfig, solver_cfg=None,
     if train_keypoints:
         assert cfg.keypoint is not None, (
             "train_keypoints=True needs the keypoint preset")
+    from detectorch_tpu.train.train_step import ROI_ALIGN_IMPLS
+
+    if roi_align_impl not in ROI_ALIGN_IMPLS:
+        raise ValueError(
+            f"unknown roi_align_impl {roi_align_impl!r}; "
+            f"expected one of {ROI_ALIGN_IMPLS}")
     fused = None
     if roi_align_impl.startswith("pallas"):
-        # see train_step.make_train_step: 'pallas' | 'pallas-mm' | 'pallas-zero'
+        # see train_step.make_train_step: 'pallas' | 'pallas-mm' | 'pallas-zero';
+        # bwd_precision selects the matmul-VJP tier (BWD_PRECISIONS)
         assert cfg.use_fpn, "the Pallas slab kernel is the FPN path"
         from detectorch_tpu.ops.roi_align import make_multilevel_roi_align_fused
 
@@ -586,11 +618,10 @@ def make_e2e_train_step(cfg: ModelConfig, solver_cfg=None,
             sizes.add(cfg.keypoint.roi_size)
         fused = {
             s: make_multilevel_roi_align_fused(
-                cfg.fpn_spatial_scales, s, s, cfg.roi_sampling_ratio, bwd=bwd)
+                cfg.fpn_spatial_scales, s, s, cfg.roi_sampling_ratio, bwd=bwd,
+                bwd_precision=bwd_precision)
             for s in sizes
         }
-    elif roi_align_impl != "gather":
-        raise ValueError(f"unknown roi_align_impl {roi_align_impl!r}")
 
     def _extras(batch):
         extra = {}

@@ -96,6 +96,25 @@ def box_branch_loss(params, cfg: ModelConfig, image, rois, labels,
     total = loss_cls + loss_bbox
     metrics = {"loss_cls": loss_cls, "loss_bbox": loss_bbox, "accuracy": acc}
 
+    if fused_roi_align is not None:
+        # slab-overflow observability: the Pallas training path accepts
+        # crop-clamped values on rois whose footprint exceeds the 64-slab
+        # (extreme aspect ratios; ops/roi_align.make_multilevel_roi_align_
+        # fused caveat). Inference re-runs such images exactly
+        # (eval/engine.py); training surfaces the fraction as a metric so
+        # a user training on extreme-aspect data sees it instead of
+        # silently eating clamped roi features.
+        from detectorch_tpu.ops.pallas.roi_align_kernel import slab_fits
+
+        fits = slab_fits(
+            rois, levels, [p.shape[1:3] for p in pyramid],
+            cfg.fpn_spatial_scales, cfg.roi_size, cfg.roi_size,
+            cfg.roi_sampling_ratio,
+        )
+        nv = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+        metrics["frac_rois_overflowed"] = (
+            jnp.sum(jnp.where(valid, (~fits).astype(jnp.float32), 0.0)) / nv)
+
     if cfg.keypoint is not None and kp_labels is not None:
         kcfg = cfg.keypoint
         krois = rois[: kp_labels.shape[0]]
@@ -172,11 +191,15 @@ def expand_bbox_targets_device(compact, num_classes: int):
     return targets, inside
 
 
+ROI_ALIGN_IMPLS = ("gather", "pallas", "pallas-mm", "pallas-zero")
+
+
 def make_train_step(cfg: ModelConfig, solver_cfg: SolverConfig = SolverConfig(),
                     device_input: bool = False,
                     blob_hw: Tuple[int, int] = (1344, 1344),
                     train_mask: bool = False,
-                    roi_align_impl: str = "gather"):
+                    roi_align_impl: str = "gather",
+                    bwd_precision: str = "bf16"):
     """Returns (init_state, step_fn) for batched Fast R-CNN training.
 
     step_fn(state, batch) -> (state, metrics); batch is a dict of arrays with
@@ -197,10 +220,16 @@ def make_train_step(cfg: ModelConfig, solver_cfg: SolverConfig = SolverConfig(),
     has_kp = cfg.keypoint is not None
     if train_mask:
         assert cfg.use_mask, "train_mask=True needs a mask preset"
+    if roi_align_impl not in ROI_ALIGN_IMPLS:
+        raise ValueError(
+            f"unknown roi_align_impl {roi_align_impl!r}; "
+            f"expected one of {ROI_ALIGN_IMPLS}")
     fused = None
     if roi_align_impl.startswith("pallas"):
         # 'pallas' = Pallas fwd + gather-form VJP; 'pallas-mm' = Pallas fwd
-        # + separable-matmul VJP (MXU instead of scatter, measured faster);
+        # + separable-matmul VJP (MXU instead of scatter, measured faster;
+        # bwd_precision picks its BWD_PRECISIONS tier — 'bf16' fast,
+        # 'high'/'highest' fp32 operands for reference-grade gradients);
         # 'pallas-zero' = zero VJP (profiling only).
         assert cfg.use_fpn, "the Pallas slab kernel is the FPN path"
         from detectorch_tpu.ops.roi_align import make_multilevel_roi_align_fused
@@ -209,10 +238,8 @@ def make_train_step(cfg: ModelConfig, solver_cfg: SolverConfig = SolverConfig(),
                "pallas-zero": "none"}[roi_align_impl]
         fused = make_multilevel_roi_align_fused(
             cfg.fpn_spatial_scales, cfg.roi_size, cfg.roi_size,
-            cfg.roi_sampling_ratio, bwd=bwd,
+            cfg.roi_sampling_ratio, bwd=bwd, bwd_precision=bwd_precision,
         )
-    elif roi_align_impl != "gather":
-        raise ValueError(f"unknown roi_align_impl {roi_align_impl!r}")
 
     def _extras(batch):
         # optional per-image branch blobs, carried as one dict pytree so the

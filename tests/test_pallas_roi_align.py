@@ -77,6 +77,38 @@ def test_pallas_reports_oversized_footprint(rng):
     assert not np.asarray(fits).any()
 
 
+def test_slab_fits_matches_kernel_fits(rng):
+    """The standalone slab_fits (the training paths' frac_rois_overflowed
+    source) must agree with the fits mask the kernel itself computes, for
+    in-slab, partially-outside, and oversized rois alike."""
+    from detectorch_tpu.ops.pallas.roi_align_kernel import slab_fits
+
+    feats = make_levels(rng)
+    scales = (0.25, 0.125, 0.0625)
+    rois = np.array(
+        [
+            [10, 10, 60, 70],       # in-slab
+            [4, 8, 100, 90],        # in-slab, level 1
+            [-20, -20, 60, 50],     # crosses the top-left
+            [0, 0, 360, 12],        # 30:1 aspect -> overflows slab 32
+            [40, 16, 52, 30],       # small
+        ],
+        np.float32,
+    )
+    levels = np.array([0, 1, 0, 0, 0], np.int32)
+    _, kernel_fits = multilevel_roi_align_pallas(
+        feats, rois, levels, scales, 7, 7, sampling_ratio=2,
+        slab=32, interpret=True,
+    )
+    standalone = slab_fits(
+        rois, levels, [f.shape[:2] for f in feats], scales, 7, 7,
+        sampling_ratio=2, slab=32,
+    )
+    np.testing.assert_array_equal(np.asarray(standalone),
+                                  np.asarray(kernel_fits))
+    assert list(np.asarray(standalone)) == [True, True, True, False, True]
+
+
 def test_fused_train_roi_align_grad_matches_gather(rng):
     """make_multilevel_roi_align_fused: Pallas forward + gather-form VJP.
     The gradient wrt the feature maps must equal differentiating the gather

@@ -472,6 +472,12 @@ def test_train_step_pallas_roi_align_matches_gather(rng):
     mp = run("pallas")
     for key in ("loss", "loss_cls", "loss_bbox"):
         np.testing.assert_allclose(mp[key], mg[key], rtol=1e-4, atol=1e-5)
+    # slab-overflow observability: the Pallas path reports the fraction of
+    # sampled rois with crop-clamped features; on standard-bucket-style
+    # rois it must be exactly 0 (and the key must exist — a user training
+    # on extreme-aspect data sees it rise instead of silent clamping)
+    assert mp["frac_rois_overflowed"] == 0.0
+    assert "frac_rois_overflowed" not in mg  # gather path is always exact
 
 
 def test_train_step_matmul_bwd_matches_gather(rng):
