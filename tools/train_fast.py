@@ -52,6 +52,12 @@ def parse_args():
                    metavar=("H", "W"),
                    help="fixed training blob bucket (one compiled program)")
     p.add_argument("--rois-per-image", type=int, default=512)
+    p.add_argument("--prefetch", type=int, default=0,
+                   help="N > 0: build batches in a producer thread behind "
+                        "an N-deep bounded queue, overlapping host input "
+                        "prep (decode/resize/roi sampling) with device "
+                        "compute; 0 = synchronous (default). Same rng "
+                        "draw order either way (single producer)")
     p.add_argument("--roi-align",
                    choices=["auto", "gather", "pallas", "pallas-mm"],
                    default="auto",
@@ -62,6 +68,16 @@ def parse_args():
                         "measured -30%% step time vs 'pallas' on TPU, "
                         "PERF.md round 4); 'auto' picks pallas-mm on TPU "
                         "FPN, gather elsewhere")
+    p.add_argument("--roi-align-bwd-precision",
+                   choices=["bf16", "high", "highest"], default="bf16",
+                   help="precision tier of the 'pallas-mm' separable-matmul "
+                        "RoIAlign backward: 'bf16' (fastest, bf16-rounded "
+                        "hat weights + intermediate; update cosine > 0.999 "
+                        "vs exact, test-pinned), 'high' (fp32 operands, "
+                        "bf16_3x MXU passes), 'highest' (fp32 throughout — "
+                        "parity with the reference's fp32 scatter backward, "
+                        "roi_align_backward_cuda.cu). Ignored unless the "
+                        "resolved --roi-align is pallas-mm")
     p.add_argument("--keypoints", action="store_true",
                    help="train the Keypoint R-CNN preset (box branch + "
                         "KRCNN keypoint head) from a person-keypoints "
@@ -171,11 +187,13 @@ def main():
             train_mask=args.masks, train_keypoints=args.keypoints,
             device_input=args.device_preprocess, blob_hw=blob_hw,
             roi_align_impl=roi_align_impl,
+            bwd_precision=args.roi_align_bwd_precision,
         )
     else:
         init_state, make_step = make_train_step(
             cfg, solver, device_input=args.device_preprocess, blob_hw=blob_hw,
             train_mask=args.masks, roi_align_impl=roi_align_impl,
+            bwd_precision=args.roi_align_bwd_precision,
         )
     state, tx = init_state(params)
     step_fn = jax.jit(make_step(tx))
@@ -218,7 +236,7 @@ def main():
     # one fixed gt capacity -> one compiled program (COCO max ~93/img)
     gt_pad = 128
 
-    def make_batch_e2e():
+    def make_batch_e2e_np():
         keys = (["raw", "tables", "meta"] if args.device_preprocess
                 else ["image", "info"])
         keys += ["gt_boxes", "gt_classes", "gt_valid"]
@@ -292,14 +310,11 @@ def main():
                     gk[: len(gi), :, :2] = kk[:, :, :2] * scale
                     gk[: len(gi), :, 2] = kk[:, :, 2]
                 batch["gt_keypoints"].append(gk)
-        return {
-            k: jax.device_put(np.stack(v), data_sharding)
-            for k, v in batch.items()
-        }
+        return {k: np.stack(v) for k, v in batch.items()}
 
-    def make_batch():
+    def make_batch_np():
         if args.e2e:
-            return make_batch_e2e()
+            return make_batch_e2e_np()
         if args.device_preprocess:
             batch = {k: [] for k in ["raw", "tables", "meta", "rois",
                                      "labels", "bbox_targets_compact",
@@ -345,10 +360,7 @@ def main():
                     batch["mask_targets"].append(
                         blobs["mask_targets"][:fg_rows])
                     batch["mask_valid"].append(blobs["mask_valid"][:fg_rows])
-            return {
-                k: jax.device_put(np.stack(v), data_sharding)
-                for k, v in batch.items()
-            }
+            return {k: np.stack(v) for k, v in batch.items()}
         keys = ["image", "rois", "labels", "bbox_targets",
                 "bbox_inside_weights", "bbox_outside_weights", "valid"]
         batch = {k: [] for k in keys}
@@ -382,14 +394,41 @@ def main():
                     blobs["mask_targets"][:fg_rows])
                 batch.setdefault("mask_valid", []).append(
                     blobs["mask_valid"][:fg_rows])
-        return {
-            k: jax.device_put(np.stack(v), data_sharding)
-            for k, v in batch.items()
-        }
+        return {k: np.stack(v) for k, v in batch.items()}
+
+    def put_batch(np_batch):
+        # device_put stays on the MAIN thread: on the axon relay every
+        # device op from a second thread contends for the same RPC channel
+        return {k: jax.device_put(v, data_sharding)
+                for k, v in np_batch.items()}
+
+    if args.prefetch > 0:
+        # producer-thread input overlap: the round-2 rejection of this was
+        # measured at the 86 MB/iter fp32-blob schema; at the uint8
+        # device-preprocess schema (~1.2 MB/iter) host batch build is the
+        # overlap-able cost, so it runs behind a bounded queue while the
+        # device crunches the previous step. Single producer keeps the rng
+        # draw order identical to the synchronous path.
+        import queue as _queue
+        import threading as _threading
+
+        _q: "_queue.Queue" = _queue.Queue(maxsize=args.prefetch)
+
+        def _producer():
+            while True:
+                _q.put(make_batch_np())
+
+        _threading.Thread(target=_producer, daemon=True).start()
+
+        def next_batch():
+            return put_batch(_q.get())
+    else:
+        def next_batch():
+            return put_batch(make_batch_np())
 
     for it in range(start_iter, args.max_iter):
         stats.iter_tic()
-        batch = make_batch()
+        batch = next_batch()
         state, metrics = step_fn(state, batch)
         stats.iter_toc()
         loss_keys = ("loss", "loss_cls", "loss_bbox") + (
