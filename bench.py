@@ -32,16 +32,9 @@ def main():
     # rounds, but bench.py used to pay the full remote compile every time
     # (41 s r1 -> 365 s r2 -> 244 s r3 through the axon compiler); the cache
     # under the repo survives rounds (.gitignore'd; harmless if evicted)
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".jax_cache"),
-        )
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:
-        pass  # older jax without the persistent cache: compile as before
+    from detectorch_tpu.utils.io import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
 
     from detectorch_tpu.config import PRESETS, TestConfig
     from detectorch_tpu.models.detector import init_params
@@ -122,8 +115,17 @@ def main():
                     else f"{preset}_inference_throughput"
                 ),
                 "value": round(img_per_sec, 3),
-                "unit": f"images/sec ({ndev} devices, batch {b})",
+                # name the precision tier in the archived line: the bf16
+                # headline and the AP-parity-airtight fp32-compute tier
+                # (51.4 img/s, PERF.md) are different numbers
+                "unit": (f"images/sec ({ndev} devices, batch {b}, "
+                         f"compute={cfg.compute_dtype}, "
+                         f"roi_align={cfg.roi_align_precision})"),
                 "vs_baseline": round(img_per_sec / target, 4),
+                "tier": {
+                    "compute_dtype": cfg.compute_dtype,
+                    "roi_align_precision": cfg.roi_align_precision,
+                },
             }
         ),
         flush=True,
@@ -135,8 +137,10 @@ def bench_train():
     (batch 8 @ 832x1344, 512 rois/img, the TPU-default Pallas-forward +
     separable-matmul-VJP RoIAlign). The reference publishes no training
     throughput (its README calls training "slow"), so vs_baseline is
-    reported against OUR round-2 gather-formulation step (36.4 img/s) —
-    i.e. the speedup this repo's own kernel work bought, clearly labeled.
+    reported against OUR round-2 gather-formulation step — read from
+    BASELINE_TRAIN.json and emitted ONLY when the measured config matches
+    the baseline's (batch/shape/rois), so env-var overrides never compare
+    incommensurate configurations.
     """
     import jax
     import jax.numpy as jnp
@@ -182,14 +186,30 @@ def bench_train():
     dt = (time.time() - t0) / iters
     img_per_sec = b / dt
     log(f"steady: {dt*1000:.1f} ms/step -> {img_per_sec:.2f} img/s")
-    print(json.dumps({
-        "metric": "fast_rcnn_r50_fpn_train_step_throughput",
+    base_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_TRAIN.json")
+    with open(base_path) as f:
+        base = json.load(f)
+    bc = base["config"]
+    comparable = (
+        b == bc["batch"] and (h, w) == (bc["height"], bc["width"])
+        and r == bc["rois_per_image"]
+    )
+    line = {
+        "metric": base["metric"],
         "value": round(img_per_sec, 3),
-        "unit": f"images/sec (1 device, batch {b}; "
-                "vs_baseline = vs our round-2 gather step, no reference "
-                "training number exists)",
-        "vs_baseline": round(img_per_sec / 36.4, 4),
-    }), flush=True)
+        "unit": f"images/sec (1 device, batch {b}, {h}x{w}, {r} rois/img, "
+                f"roi_align={impl}; vs_baseline = vs our round-2 gather "
+                "step from BASELINE_TRAIN.json, no reference training "
+                "number exists)",
+    }
+    if comparable:
+        line["vs_baseline"] = round(img_per_sec / base["value"], 4)
+    else:
+        log(f"config differs from BASELINE_TRAIN.json {bc}; "
+            "omitting vs_baseline")
+        line["vs_baseline"] = None
+    print(json.dumps(line), flush=True)
 
 
 if __name__ == "__main__":

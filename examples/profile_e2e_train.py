@@ -26,12 +26,11 @@ def main():
 
     # persistent compile cache: the cost/timing programs here are the same
     # HLO the round's earlier runs compiled, so warm repeats skip the
-    # multi-minute relay compile (same block as bench.py).
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "..", ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # multi-minute relay compile (shared .jax_cache, guarded for jax
+    # builds without the knobs — same helper bench.py/CLIs use).
+    from detectorch_tpu.utils.io import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
 
     from detectorch_tpu.config import PRESETS, SamplerConfig, SolverConfig
     from detectorch_tpu.models.detector import init_params
