@@ -581,3 +581,52 @@ def test_e2e_mask_train_step_c4_overfits(rng):
         mask_losses
     after = np.asarray(state.params["conv5_mask_w"])
     assert np.abs(before - after).max() > 0  # grads reach the mask deconv
+
+
+def test_e2e_mask_step_pallas_mm_matches_gather(rng):
+    """The TPU-default e2e training configuration — Pallas-forward RoIAlign
+    with the separable-matmul VJP ('pallas-mm', tools/train_fast.py
+    --roi-align auto) — must produce the same losses as the exact gather
+    formulation on in-slab rois, and must surface frac_rois_overflowed
+    (== 0 on standard-bucket-style rois). Covers BOTH fused pooled sizes
+    (box 7x7 on all sampled rois + mask 14x14 on fg rois) and the
+    bwd_precision plumb at the e2e level."""
+    cfg = PRESETS["e2e_mask_rcnn_R-50-FPN_2x"].replace(compute_dtype="float32")
+    params = init_params(cfg, seed=0)
+    solver = SolverConfig(base_lr=1e-3, warmup_iters=0, weight_decay=0.0)
+    image = rng.randn(64, 128, 3).astype(np.float32)
+    gt, gcls, gvalid, gm, gmv = _mask_gt_batch(rng)
+    batch = {
+        "image": image[None],
+        "gt_boxes": gt,
+        "gt_classes": gcls,
+        "gt_valid": gvalid,
+        "gt_masks": gm,
+        "gt_mask_valid": gmv,
+        "info": np.asarray([[64.0, 128.0, 1.0]], np.float32),
+    }
+
+    def run(impl, bwd_precision="highest"):
+        init_state, make_step = E.make_e2e_train_step(
+            cfg, solver, SamplerConfig(rois_per_image=16), seed=5,
+            train_pre_nms=128, train_post_nms=32, train_mask=True,
+            roi_align_impl=impl, bwd_precision=bwd_precision,
+        )
+        state, tx = init_state(params)
+        step = jax.jit(make_step(tx))
+        state, metrics = step(state, batch)
+        return {kk: float(v) for kk, v in metrics.items()}
+
+    mg = run("gather")
+    mp = run("pallas-mm")
+    for key in ("loss", "loss_cls", "loss_bbox", "loss_mask",
+                "loss_rpn_cls", "loss_rpn_bbox"):
+        np.testing.assert_allclose(mp[key], mg[key], rtol=1e-4, atol=1e-5,
+                                   err_msg=key)
+    assert mp["frac_rois_overflowed"] == 0.0
+    assert "frac_rois_overflowed" not in mg  # gather path is always exact
+
+    with pytest.raises(ValueError, match="unknown roi_align_impl"):
+        E.make_e2e_train_step(
+            cfg, solver, SamplerConfig(rois_per_image=16), seed=5,
+            roi_align_impl="pallas-matmul")
