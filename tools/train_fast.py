@@ -436,10 +436,18 @@ def main():
         ) + (("loss_mask",) if args.masks else ()) + (
             ("loss_rpn_cls", "loss_rpn_bbox") if args.e2e else ()
         )
+        extra_metrics = {"accuracy": metrics["accuracy"]}
+        if "frac_rois_overflowed" in metrics:
+            # Pallas slab-overflow observability: fraction of sampled rois
+            # whose footprint exceeded the kernel's VMEM slab and got
+            # crop-clamped features (0.0 on standard buckets; rises on
+            # extreme-aspect data instead of degrading silently)
+            extra_metrics["frac_rois_overflowed"] = (
+                metrics["frac_rois_overflowed"])
         stats.update_iter_stats(
             it,
             {k: metrics[k] for k in loss_keys},
-            {"accuracy": metrics["accuracy"]},
+            extra_metrics,
         )
         stats.log_iter_stats(it, float(metrics["lr"]))
         if (it + 1) % args.checkpoint_period == 0 or (it + 1) == args.max_iter:
