@@ -533,8 +533,12 @@ def make_multilevel_roi_align_fused(
     bit-faithful to the reference's roi_align_backward_cuda.cu semantics);
     'matmul' uses the separable-matmul feature gradient
     (multilevel_roi_align_feature_grad — MXU work instead of scatter,
-    measured faster on TPU, bf16-rounded weights); 'none' returns zero
-    feature gradients (profiling only — isolates the backward's cost).
+    measured faster on TPU, bf16-rounded weights); 'slab' runs the
+    tile-stationary Pallas backward in the slab domain
+    (multilevel_roi_align_slab_grad — fp32/HIGHEST, EXACT for in-slab
+    rois AND ~20x fewer FLOPs than 'matmul', whose dense einsums pay
+    H*W-proportional work per level); 'none' returns zero feature
+    gradients (profiling only — isolates the backward's cost).
 
     Caveat (documented, matching the inference architecture): rois whose
     sampling footprint exceeds the 64-slab (extreme >~4:1 aspect ratios on
@@ -543,7 +547,7 @@ def make_multilevel_roi_align_fused(
     those rare rois (the gradient still flows through the exact VJP).
     Returns fn(feature_list, rois, levels) -> (N, PH, PW, C) fp32.
     """
-    assert bwd in ("gather", "matmul", "none"), bwd
+    assert bwd in ("gather", "matmul", "slab", "none"), bwd
 
     @jax.custom_vjp
     def fn(feature_list, rois, levels):
@@ -564,6 +568,16 @@ def make_multilevel_roi_align_fused(
         feature_list, rois, levels = res
         if bwd == "none":
             g_feats = [jnp.zeros_like(f) for f in feature_list]
+        elif bwd == "slab":
+            from detectorch_tpu.ops.pallas.roi_align_kernel import (
+                multilevel_roi_align_slab_grad,
+            )
+
+            g_feats = multilevel_roi_align_slab_grad(
+                g, [f.shape for f in feature_list], rois, levels,
+                level_scales, pooled_h, pooled_w, sampling_ratio,
+                out_dtype=feature_list[0].dtype,
+            )
         elif bwd == "matmul":
             tmp_dtype, prec = BWD_PRECISIONS[bwd_precision]
             g_feats = multilevel_roi_align_feature_grad(

@@ -610,7 +610,7 @@ def make_e2e_train_step(cfg: ModelConfig, solver_cfg=None,
         from detectorch_tpu.ops.roi_align import make_multilevel_roi_align_fused
 
         bwd = {"pallas": "gather", "pallas-mm": "matmul",
-               "pallas-zero": "none"}[roi_align_impl]
+               "pallas-slab": "slab", "pallas-zero": "none"}[roi_align_impl]
         sizes = {cfg.roi_size}
         if train_mask:
             sizes.add(cfg.mask.roi_size)

@@ -191,7 +191,8 @@ def expand_bbox_targets_device(compact, num_classes: int):
     return targets, inside
 
 
-ROI_ALIGN_IMPLS = ("gather", "pallas", "pallas-mm", "pallas-zero")
+ROI_ALIGN_IMPLS = ("gather", "pallas", "pallas-mm", "pallas-slab",
+                   "pallas-zero")
 
 
 def make_train_step(cfg: ModelConfig, solver_cfg: SolverConfig = SolverConfig(),
@@ -230,12 +231,14 @@ def make_train_step(cfg: ModelConfig, solver_cfg: SolverConfig = SolverConfig(),
         # + separable-matmul VJP (MXU instead of scatter, measured faster;
         # bwd_precision picks its BWD_PRECISIONS tier — 'bf16' fast,
         # 'high'/'highest' fp32 operands for reference-grade gradients);
-        # 'pallas-zero' = zero VJP (profiling only).
+        # 'pallas-slab' = Pallas fwd + slab-domain Pallas backward
+        # (fp32/HIGHEST, exact for in-slab rois, ~20x fewer FLOPs than the
+        # dense matmul VJP); 'pallas-zero' = zero VJP (profiling only).
         assert cfg.use_fpn, "the Pallas slab kernel is the FPN path"
         from detectorch_tpu.ops.roi_align import make_multilevel_roi_align_fused
 
         bwd = {"pallas": "gather", "pallas-mm": "matmul",
-               "pallas-zero": "none"}[roi_align_impl]
+               "pallas-slab": "slab", "pallas-zero": "none"}[roi_align_impl]
         fused = make_multilevel_roi_align_fused(
             cfg.fpn_spatial_scales, cfg.roi_size, cfg.roi_size,
             cfg.roi_sampling_ratio, bwd=bwd, bwd_precision=bwd_precision,

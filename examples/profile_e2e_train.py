@@ -62,6 +62,27 @@ def main():
 
         _e2e.mask_targets_device = _const_targets
         print("mask targets: CONST (crop-resize DCE'd)", flush=True)
+    # Mask-branch RoIAlign bisection (PROFILE_E2E_MASK_STAGE=const-roialign):
+    # replace the mask branch's 14^2 RoIAlign (the fused kernel built for
+    # cfg.mask.roi_size) with constants so XLA DCEs its fwd AND bwd — the
+    # mask head still runs on the constant features, so (full - this) is
+    # the mask-branch RoIAlign cost inside the step.
+    if masks and os.environ.get("PROFILE_E2E_MASK_STAGE", "") == "const-roialign":
+        from detectorch_tpu.ops import roi_align as _ra
+
+        _orig_fused = _ra.make_multilevel_roi_align_fused
+
+        def _fused_or_const(scales, ph, pw, sampling_ratio, **kw):
+            if ph == cfg.mask.roi_size:
+                def _const(feats, rois, levels):
+                    return jnp.zeros(
+                        (rois.shape[0], ph, pw, feats[0].shape[-1]),
+                        feats[0].dtype)
+                return _const
+            return _orig_fused(scales, ph, pw, sampling_ratio, **kw)
+
+        _ra.make_multilevel_roi_align_fused = _fused_or_const
+        print("mask-branch roialign: CONST (fwd+bwd DCE'd)", flush=True)
     # Keypoint-branch bisection (PROFILE_E2E_KP_STAGE):
     #   const-labels — replace keypoint_labels_device with constants so XLA
     #     DCEs the on-device heatmap binning (isolates label-computation);

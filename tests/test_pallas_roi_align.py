@@ -109,11 +109,13 @@ def test_slab_fits_matches_kernel_fits(rng):
     assert list(np.asarray(standalone)) == [True, True, True, False, True]
 
 
-def test_fused_train_roi_align_grad_matches_gather(rng):
-    """make_multilevel_roi_align_fused: Pallas forward + gather-form VJP.
+@pytest.mark.parametrize("bwd", ["gather", "slab"])
+def test_fused_train_roi_align_grad_matches_gather(rng, bwd):
+    """make_multilevel_roi_align_fused: Pallas forward + exact VJPs.
     The gradient wrt the feature maps must equal differentiating the gather
-    formulation directly (the backward IS that VJP), and the forward must
-    match the gather values for in-slab rois."""
+    formulation directly (bwd='gather' IS that VJP; bwd='slab' is the
+    slab-domain Pallas kernel, exact for in-slab rois), and the forward
+    must match the gather values for in-slab rois."""
     import jax
     import jax.numpy as jnp
 
@@ -125,7 +127,7 @@ def test_fused_train_roi_align_grad_matches_gather(rng):
         [[8, 8, 80, 60], [40, 20, 120, 90], [4, 4, 30, 30]], np.float32
     )
     levels = np.array([0, 1, 0], np.int32)
-    fused = make_multilevel_roi_align_fused(scales, 7, 7, 2)
+    fused = make_multilevel_roi_align_fused(scales, 7, 7, 2, bwd=bwd)
 
     def loss_fused(fl):
         return jnp.sum(fused(fl, jnp.asarray(rois), jnp.asarray(levels)) ** 2)
@@ -149,3 +151,89 @@ def test_fused_train_roi_align_grad_matches_gather(rng):
     for a, b in zip(g_f, g_g):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def _gather_vjp_grads(feats, rois, levels, scales, ph, g):
+    """Exact feature cotangent via differentiating the gather formulation."""
+    import jax
+    import jax.numpy as jnp
+
+    def pooled(fl):
+        return multilevel_roi_align(
+            fl, jnp.asarray(rois), jnp.asarray(levels), scales, ph, ph, 2)
+
+    _, vjp = jax.vjp(pooled, [jnp.asarray(f) for f in feats])
+    (gf,) = vjp(jnp.asarray(g))
+    return gf
+
+
+@pytest.mark.parametrize("ph", [7, 14])
+def test_slab_grad_matches_gather_vjp(rng, ph):
+    """The slab-domain Pallas backward equals the exact gather VJP for
+    in-slab rois (fp32/HIGHEST per-roi matmuls; only summation order
+    differs)."""
+    from detectorch_tpu.ops.pallas.roi_align_kernel import (
+        multilevel_roi_align_slab_grad,
+        slab_fits,
+    )
+
+    feats = make_levels(rng)
+    scales = (0.25, 0.125, 0.0625)
+    rois = np.array(
+        [[8, 8, 80, 60], [40, 20, 120, 90], [4, 4, 34, 30],
+         [16, 12, 70, 88], [30, 30, 96, 80]],
+        np.float32,
+    )
+    levels = np.array([0, 1, 0, 1, 2], np.int32)
+    assert np.asarray(slab_fits(
+        rois, levels, [f.shape[:2] for f in feats], scales, ph, ph, 2,
+        slab=32)).all()
+    g = rng.randn(len(rois), ph, ph, feats[0].shape[-1]).astype(np.float32)
+    got = multilevel_roi_align_slab_grad(
+        g, [f.shape for f in feats], rois, levels, scales, ph, ph, 2,
+        slab=32, interpret=True,
+    )
+    exp = _gather_vjp_grads(feats, rois, levels, scales, ph, g)
+    for a, b in zip(got, exp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_slab_grad_vmapped_matches_per_image(rng):
+    """vmap of the slab backward (the e2e train path batches per image)
+    equals the per-image results — exercises the carry accumulator's reset
+    across the prepended batch grid dim."""
+    import jax
+    import jax.numpy as jnp
+
+    from detectorch_tpu.ops.pallas.roi_align_kernel import (
+        multilevel_roi_align_slab_grad,
+    )
+
+    scales = (0.25, 0.125, 0.0625)
+    bsz, n, ph = 3, 6, 7
+    feats_b = [np.stack([f, f * 0 + 1.0, f * 2.0])
+               for f in make_levels(rng)]
+    rois_b = np.stack([
+        np.array([[8, 8, 80, 60], [40, 20, 120, 90], [4, 4, 34, 30],
+                  [16, 12, 70, 88], [30, 30, 96, 80], [10, 40, 80, 100]],
+                 np.float32) + 2.0 * b
+        for b in range(bsz)
+    ])
+    levels_b = np.stack([
+        np.array([0, 1, 0, 1, 2, 1], np.int32) for _ in range(bsz)
+    ])
+    g_b = rng.randn(bsz, n, ph, ph, feats_b[0].shape[-1]).astype(np.float32)
+    shapes = [f.shape[1:] for f in feats_b]
+
+    def one(r, lv, g):
+        return multilevel_roi_align_slab_grad(
+            g, shapes, r, lv, scales, ph, ph, 2, slab=32, interpret=True)
+
+    got = jax.vmap(one)(jnp.asarray(rois_b), jnp.asarray(levels_b),
+                        jnp.asarray(g_b))
+    for b in range(bsz):
+        exp = one(rois_b[b], levels_b[b], g_b[b])
+        for a, e in zip(got, exp):
+            np.testing.assert_allclose(np.asarray(a[b]), np.asarray(e),
+                                       rtol=1e-5, atol=1e-6)

@@ -59,7 +59,8 @@ def parse_args():
                         "compute; 0 = synchronous (default). Same rng "
                         "draw order either way (single producer)")
     p.add_argument("--roi-align",
-                   choices=["auto", "gather", "pallas", "pallas-mm"],
+                   choices=["auto", "gather", "pallas", "pallas-mm",
+                            "pallas-slab"],
                    default="auto",
                    help="training RoIAlign formulation (FPN only): "
                         "'pallas' = slab-DMA forward + gather-form VJP "
