@@ -67,8 +67,11 @@ def parse_args():
                         "(fp32 scatter backward); 'pallas-mm' = slab-DMA "
                         "forward + separable-MATMUL VJP (bf16 MXU backward, "
                         "measured -30%% step time vs 'pallas' on TPU, "
-                        "PERF.md round 4); 'auto' picks pallas-mm on TPU "
-                        "FPN, gather elsewhere")
+                        "PERF.md round 4); 'pallas-slab' = slab-DMA forward "
+                        "+ slab-domain Pallas backward — the fastest EXACT-"
+                        "gradient tier (e2e Mask 296 vs 381 ms for the "
+                        "scatter, PERF.md round 5); 'auto' picks pallas-mm "
+                        "on TPU FPN, gather elsewhere")
     p.add_argument("--roi-align-bwd-precision",
                    choices=["bf16", "high", "highest"], default="bf16",
                    help="precision tier of the 'pallas-mm' separable-matmul "
