@@ -493,21 +493,21 @@ def _slab_grad_group(g, rois, levels, shapes_np, row_offsets, rows_img,
             kyi = ky_ref[i]  # (PH, slab)
             kxi = kx_ref[i]  # (PW, slab)
             gi = g_ref[i]    # (PH, PW, c_chunk)
-            # tmp = Ky^T @ g: contract PH -> (slab, PW, cc)
+            # x first: g @ Kx, contract PW -> (slab_w, PH, cc)
             tmp = jax.lax.dot_general(
-                kyi, gi,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            # dslab = tmp @ Kx: contract PW -> (slab_w, slab_h, cc)
-            dslab = jax.lax.dot_general(
-                kxi, tmp,
+                kxi, gi,
                 dimension_numbers=(((0,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
-            dslab = jnp.transpose(dslab, (1, 0, 2))  # (slab_h, slab_w, cc)
+            # then y: Ky^T @ ., contract PH -> (slab_h, slab_w, cc)
+            # DIRECTLY in accumulator layout (no in-loop transpose)
+            dslab = jax.lax.dot_general(
+                kyi, tmp,
+                dimension_numbers=(((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
             ro = pl.multiple_of(row_ref[i] - b * band, 8)
             co = pl.multiple_of(col_ref[i], 8)
             cur = acc[pl.ds(ro, slab), pl.ds(co, slab), :]

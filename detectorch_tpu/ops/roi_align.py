@@ -536,9 +536,12 @@ def make_multilevel_roi_align_fused(
     measured faster on TPU, bf16-rounded weights); 'slab' runs the
     tile-stationary Pallas backward in the slab domain
     (multilevel_roi_align_slab_grad — fp32/HIGHEST, EXACT for in-slab
-    rois AND ~20x fewer FLOPs than 'matmul', whose dense einsums pay
-    H*W-proportional work per level); 'none' returns zero feature
-    gradients (profiling only — isolates the backward's cost).
+    rois, deterministic accumulation order, ~20x fewer FLOPs than
+    'matmul'; measured the FASTEST EXACT tier on TPU — e2e Mask 296 vs
+    381 ms for 'gather' — but slower than 'matmul' bf16 at 257 ms, so it
+    is the reference-grade-gradients choice, not the default; PERF.md
+    round 5); 'none' returns zero feature gradients (profiling only —
+    isolates the backward's cost).
 
     Caveat (documented, matching the inference architecture): rois whose
     sampling footprint exceeds the 64-slab (extreme >~4:1 aspect ratios on
