@@ -59,6 +59,8 @@ def main():
     cdt = os.environ.get("BENCH_COMPUTE_DTYPE")
     if cdt:
         cfg = cfg.replace(compute_dtype=cdt)
+    if os.environ.get("BENCH_S2D_STEM"):
+        cfg = cfg.replace(s2d_stem=True)
     test_cfg = TestConfig(
         nms_topk_prefilter=int(os.environ.get("BENCH_NMS_PREFILTER", "0")),
     )

@@ -130,6 +130,11 @@ class ModelConfig:
     # fallback that only executes when a roi's footprint overflows the slab;
     # see models/detector._fpn_roi_align) — ~2x end-to-end throughput
     use_pallas_roi_align: bool = True
+    # evaluate conv1 as a 4x4/1 conv on 2x2 space-to-depth input (the
+    # MLPerf-ResNet TPU stem; models/resnet.stem_s2d — identical math,
+    # 4x less lane-padded full-resolution activation traffic). Off by
+    # default pending the measured win (PERF.md round 5).
+    s2d_stem: bool = False
 
     @property
     def fpn_spatial_scales(self) -> Tuple[float, ...]:

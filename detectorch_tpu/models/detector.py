@@ -180,10 +180,11 @@ def make_inference_fn(
             im_w = jnp.minimum(jnp.ceil(im_w / stride) * stride, image.shape[1])
 
         if cfg.use_fpn:
-            feats = resnet_mod.multilevel_body(params, x, cfg.arch)
+            feats = resnet_mod.multilevel_body(params, x, cfg.arch,
+                                               s2d=cfg.s2d_stem)
             pyramid = fpn_mod.fpn_neck(params, feats, cfg.arch)  # P2..P5
         else:
-            c4 = resnet_mod.c4_body(params, x, cfg.arch)
+            c4 = resnet_mod.c4_body(params, x, cfg.arch, s2d=cfg.s2d_stem)
 
         # --- proposals ---------------------------------------------------
         if cfg.use_rpn:
@@ -347,7 +348,8 @@ def make_mask_fn(cfg: ModelConfig):
         mask_rois = boxes.astype(jnp.float32) * im_scale
         msize = cfg.mask.roi_size
         if cfg.use_fpn:
-            feats = resnet_mod.multilevel_body(params, x, cfg.arch)
+            feats = resnet_mod.multilevel_body(params, x, cfg.arch,
+                                               s2d=cfg.s2d_stem)
             pyramid = fpn_mod.fpn_neck(params, feats, cfg.arch)
             level_feats = [p[0] for p in pyramid]
             mask_levels = map_rois_to_fpn_levels(
@@ -359,7 +361,7 @@ def make_mask_fn(cfg: ModelConfig):
             )
             align_exact = align_exact & mask_exact
         else:
-            c4 = resnet_mod.c4_body(params, x, cfg.arch)
+            c4 = resnet_mod.c4_body(params, x, cfg.arch, s2d=cfg.s2d_stem)
             mask_feats = roi_align_matmul(
                 c4[0], mask_rois, msize, msize,
                 cfg.spatial_scale, cfg.roi_sampling_ratio,
@@ -394,7 +396,8 @@ def make_keypoint_fn(cfg: ModelConfig):
         kcfg = cfg.keypoint
         kp_rois = boxes.astype(jnp.float32) * im_scale
         if cfg.use_fpn:
-            feats = resnet_mod.multilevel_body(params, x, cfg.arch)
+            feats = resnet_mod.multilevel_body(params, x, cfg.arch,
+                                               s2d=cfg.s2d_stem)
             pyramid = fpn_mod.fpn_neck(params, feats, cfg.arch)
             level_feats = [p[0] for p in pyramid]
             kp_levels = map_rois_to_fpn_levels(
@@ -406,7 +409,7 @@ def make_keypoint_fn(cfg: ModelConfig):
             )
             align_exact = align_exact & kp_exact
         else:
-            c4 = resnet_mod.c4_body(params, x, cfg.arch)
+            c4 = resnet_mod.c4_body(params, x, cfg.arch, s2d=cfg.s2d_stem)
             kp_feats = roi_align_matmul(
                 c4[0], kp_rois, kcfg.roi_size, kcfg.roi_size,
                 cfg.spatial_scale, cfg.roi_sampling_ratio,

@@ -92,20 +92,61 @@ def stage(params: Params, x, name: str, n_blocks: int, stride: int):
     return x
 
 
-def stem(params: Params, x):
-    """conv1 7x7/2 pad 3 + frozen BN (res_conv1_bn) + relu + maxpool 3x3/2."""
+def stem(params: Params, x, s2d: bool = False):
+    """conv1 7x7/2 pad 3 + frozen BN (res_conv1_bn) + relu + maxpool 3x3/2.
+
+    s2d=True evaluates conv1 as a 4x4/1 conv on 2x2 space-to-depth input —
+    the MLPerf-ResNet TPU stem: identical math (every product term
+    preserved; see the index derivation in stem_s2d), but the image enters
+    the conv at C=12 instead of C=3, so the lane-padded (C->128)
+    full-resolution activation XLA materialises shrinks 4x. Checkpoints
+    and gradients stay in the canonical 7x7 layout — the weight transform
+    runs inside the traced program on 48 KB."""
+    if s2d:
+        return stem_s2d(params, x)
     x = conv(x, params["conv1_w"], stride=2, pad=3)
     x = affine(x, params["res_conv1_bn_s"], params["res_conv1_bn_b"])
     x = jax.nn.relu(x)
     return max_pool_3x3s2(x)
 
 
-def c4_body(params: Params, x, arch: str = "resnet50"):
+def stem_s2d(params: Params, x):
+    """Space-to-depth stem, exactly equivalent to `stem`.
+
+    Derivation: out[y, x] = sum_{dy, dx in [0,7)} W[dy, dx] * I[2y+dy-3,
+    2x+dx-3]. Shift J[h+4] = I[h] and split dy+1 = 2j + a (a in {0,1},
+    j in [0,4)): the tap index becomes J[2(y+j) + a] — i.e. a 4x4 VALID
+    stride-1 conv over the 2x2 space-to-depth of J, with the 7x7 kernel
+    zero-padded to 8x8 at the LOW edge (Wp[1:8, 1:8] = W) and its 2x2
+    phase folded into input channels. Output rows = ceil(H/2), matching
+    the strided conv. Equality pinned by
+    tests/test_models.py::test_stem_s2d_matches_plain."""
+    n, h, w, _ = x.shape
+    pb = 2 * ((h + 1) // 2) - h + 2
+    pr = 2 * ((w + 1) // 2) - w + 2
+    j = jnp.pad(x, ((0, 0), (4, pb), (4, pr), (0, 0)))
+    r, c = j.shape[1:3]
+    j2 = j.reshape(n, r // 2, 2, c // 2, 2, 3)
+    j2 = j2.transpose(0, 1, 3, 2, 4, 5).reshape(n, r // 2, c // 2, 12)
+    w1 = params["conv1_w"]
+    wp = jnp.zeros((8, 8) + w1.shape[2:], w1.dtype).at[1:8, 1:8].set(w1)
+    w2 = wp.reshape(4, 2, 4, 2, *w1.shape[2:])
+    w2 = w2.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 12, w1.shape[3])
+    y = jax.lax.conv_general_dilated(
+        j2, w2.astype(j2.dtype), window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y = affine(y, params["res_conv1_bn_s"], params["res_conv1_bn_b"])
+    y = jax.nn.relu(y)
+    return max_pool_3x3s2(y)
+
+
+def c4_body(params: Params, x, arch: str = "resnet50", s2d: bool = False):
     """conv1..res4 — the C4 conv body (reference conv_body_layers
     ['conv1','bn1','relu','maxpool','layer1','layer2','layer3']).
     Output stride 16, 1024 channels."""
     blocks = STAGE_BLOCKS[arch]
-    x = stem(params, x)
+    x = stem(params, x, s2d=s2d)
     x = stage(params, x, "res2", blocks[0], stride=1)
     x = stage(params, x, "res3", blocks[1], stride=2)
     x = stage(params, x, "res4", blocks[2], stride=2)
@@ -118,10 +159,11 @@ def c5_head(params: Params, x, arch: str = "resnet50", stride: int = 2):
     return stage(params, x, "res5", STAGE_BLOCKS[arch][3], stride=stride)
 
 
-def multilevel_body(params: Params, x, arch: str = "resnet50"):
+def multilevel_body(params: Params, x, arch: str = "resnet50",
+                    s2d: bool = False):
     """conv1..res5 returning {c2,c3,c4,c5} for the FPN neck."""
     blocks = STAGE_BLOCKS[arch]
-    x = stem(params, x)
+    x = stem(params, x, s2d=s2d)
     c2 = stage(params, x, "res2", blocks[0], stride=1)
     c3 = stage(params, c2, "res3", blocks[1], stride=2)
     c4 = stage(params, c3, "res4", blocks[2], stride=2)

@@ -346,14 +346,15 @@ def e2e_losses(params, cfg: ModelConfig, sampler_cfg: SamplerConfig,
 
     # ---- backbone + RPN head over all levels -----------------------------
     if cfg.use_fpn:
-        feats = resnet_mod.multilevel_body(params, x, cfg.arch)
+        feats = resnet_mod.multilevel_body(params, x, cfg.arch,
+                                               s2d=cfg.s2d_stem)
         pyramid = fpn_mod.fpn_neck(params, feats, cfg.arch)
         rpn_feats = list(pyramid)
         if cfg.fpn.extra_level:
             rpn_feats.append(fpn_mod.subsample2x(pyramid[-1]))
         prefix = "_fpn2"
     else:
-        c4 = resnet_mod.c4_body(params, x, cfg.arch)
+        c4 = resnet_mod.c4_body(params, x, cfg.arch, s2d=cfg.s2d_stem)
         rpn_feats = [c4]
         prefix = ""
 

@@ -53,7 +53,8 @@ def box_branch_loss(params, cfg: ModelConfig, image, rois, labels,
     x = image[None].astype(jnp.dtype(cfg.compute_dtype))
     pyramid = c4 = None
     if cfg.use_fpn:
-        feats = resnet_mod.multilevel_body(params, x, cfg.arch)
+        feats = resnet_mod.multilevel_body(params, x, cfg.arch,
+                                               s2d=cfg.s2d_stem)
         pyramid = fpn_mod.fpn_neck(params, feats, cfg.arch)
         levels = map_rois_to_fpn_levels(
             rois, cfg.fpn.roi_min_level, cfg.fpn.roi_max_level
@@ -72,7 +73,7 @@ def box_branch_loss(params, cfg: ModelConfig, image, rois, labels,
             params, roi_feats, jnp.dtype(cfg.compute_dtype)
         )
     else:
-        c4 = resnet_mod.c4_body(params, x, cfg.arch)
+        c4 = resnet_mod.c4_body(params, x, cfg.arch, s2d=cfg.s2d_stem)
         roi_feats = roi_align_matmul(
             c4[0], rois, cfg.roi_size, cfg.roi_size,
             cfg.spatial_scale, cfg.roi_sampling_ratio,

@@ -45,6 +45,8 @@ def main():
               else "e2e_mask_rcnn_R-50-FPN_2x" if masks
               else "e2e_faster_rcnn_R-50-FPN_2x")
     cfg = PRESETS[preset]
+    if os.environ.get("PROFILE_E2E_S2D_STEM"):
+        cfg = cfg.replace(s2d_stem=True)
     print(f"devices: {jax.devices()}  batch={b} blob={h}x{w} "
           f"masks={masks} keypoints={kps}", flush=True)
 

@@ -56,16 +56,21 @@ def make_case(n, seed):
     return feats, jnp.asarray(rois), levels
 
 
-def time_variant(feats, rois, levels, ph, r_step):
+def time_variant(feats, rois, levels, ph, r_step, fp="exact"):
     @jax.jit
     def run(f, r, lv):
         out, fits = multilevel_roi_align_pallas(
-            f, r, lv, SCALES, ph, ph, 2, rois_per_step=r_step
+            f, r, lv, SCALES, ph, ph, 2, rois_per_step=r_step,
+            fwd_precision=fp,
         )
         return jnp.sum(out, dtype=jnp.float32), jnp.all(fits)
 
     s, fits = run(feats, rois, levels)
     s.block_until_ready()
+    # relay warm-up (see PERF.md round 5): burn 3 iterations before timing
+    for _ in range(3):
+        s, fits = run(feats, rois, levels)
+    float(s)
     t0 = time.perf_counter()
     for _ in range(ITERS):
         s, fits = run(feats, rois, levels)
@@ -80,13 +85,15 @@ def main():
     for n, ph, tag in ((1000, 7, "box/inference"), (512, 7, "box/train"),
                        (128, 14, "mask/keypoint")):
         feats, rois, levels = make_case(n, seed=n)
-        for r_step in (1, 4, 8, 16):
+        for r_step, fp in ((8, "exact"), (8, "bf16x3"), (8, "bf16"),
+                           (1, "exact"), (4, "exact"), (16, "exact")):
             # one jit for the whole equality check (a scalar out — eager
             # op-by-op dispatch through the relay is minutes-slow)
             @jax.jit
-            def check(f, r, lv, _rs=r_step):
+            def check(f, r, lv, _rs=r_step, _fp=fp):
                 out, fits = multilevel_roi_align_pallas(
-                    f, r, lv, SCALES, ph, ph, 2, rois_per_step=_rs)
+                    f, r, lv, SCALES, ph, ph, 2, rois_per_step=_rs,
+                    fwd_precision=_fp)
                 # exactness gate vs the gather formulation: bf16 features
                 # cast bf16->fp32 then identical fp32 math on both sides;
                 # require exact equality on in-slab rois
@@ -102,10 +109,10 @@ def main():
                 print(f"{tag:14s} n={n:5d} ph={ph:2d} R={r_step:2d}: "
                       f"FAILED ({type(e).__name__})", flush=True)
                 continue
-            dt, allfit = time_variant(feats, rois, levels, ph, r_step)
+            dt, allfit = time_variant(feats, rois, levels, ph, r_step, fp)
             us = dt * 1e3 / n
             print(
-                f"{tag:14s} n={n:5d} ph={ph:2d} R={r_step:2d}: "
+                f"{tag:14s} n={n:5d} ph={ph:2d} R={r_step:2d} fp={fp:7s}: "
                 f"{dt:7.3f} ms ({us:5.2f} us/roi)  max|err|={err:.3e} "
                 f"all_fit={allfit}",
                 flush=True,

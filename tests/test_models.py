@@ -186,3 +186,26 @@ def test_mask_head_shapes(rng):
     x = rng.randn(4, 14, 14, 1024).astype(np.float32)
     out = HD.mask_head(pc, jnp.asarray(x), "upshare")
     assert out.shape == (4, 14, 14, 81)
+
+
+def test_stem_s2d_matches_plain(rng):
+    """The space-to-depth stem is the SAME function as the plain stem —
+    every product term of the 7x7/2 conv1 is preserved under the 2x2
+    space-to-depth + 4x4/1 rewrite (models/resnet.stem_s2d derivation),
+    at even and odd spatial sizes."""
+    import jax.numpy as jnp
+
+    from detectorch_tpu.models import resnet
+
+    p = {
+        "conv1_w": rng.randn(7, 7, 3, 64).astype(np.float32) * 0.1,
+        "res_conv1_bn_s": rng.randn(64).astype(np.float32),
+        "res_conv1_bn_b": rng.randn(64).astype(np.float32),
+    }
+    for h, w in ((64, 96), (63, 95), (66, 94)):
+        x = jnp.asarray(rng.randn(2, h, w, 3).astype(np.float32))
+        plain = resnet.stem(p, x)
+        s2d = resnet.stem(p, x, s2d=True)
+        assert plain.shape == s2d.shape, (h, w, plain.shape, s2d.shape)
+        np.testing.assert_allclose(
+            np.asarray(s2d), np.asarray(plain), rtol=1e-5, atol=1e-5)
