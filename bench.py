@@ -61,6 +61,9 @@ def main():
         cfg = cfg.replace(compute_dtype=cdt)
     if os.environ.get("BENCH_S2D_STEM"):
         cfg = cfg.replace(s2d_stem=True)
+    fwd = os.environ.get("BENCH_ROI_ALIGN_FWD")
+    if fwd:
+        cfg = cfg.replace(roi_align_fwd_precision=fwd)
     test_cfg = TestConfig(
         nms_topk_prefilter=int(os.environ.get("BENCH_NMS_PREFILTER", "0")),
     )
@@ -127,6 +130,7 @@ def main():
                 "tier": {
                     "compute_dtype": cfg.compute_dtype,
                     "roi_align_precision": cfg.roi_align_precision,
+                    "roi_align_fwd_precision": cfg.roi_align_fwd_precision,
                 },
             }
         ),

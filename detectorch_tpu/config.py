@@ -130,6 +130,15 @@ class ModelConfig:
     # fallback that only executes when a roi's footprint overflows the slab;
     # see models/detector._fpn_roi_align) — ~2x end-to-end throughput
     use_pallas_roi_align: bool = True
+    # matmul precision for the Pallas FPN kernel's forward contractions:
+    # 'exact' = fp32 operands / HIGHEST (6-pass bf16 emulation per matmul —
+    # bit-exact caffe2 RoIAlign, the tier behind every AP-parity row),
+    # 'bf16x3' = fp32 hat weights split into 3 exact bf16 terms against the
+    # raw bf16 slab (exact products, fp32 accumulation — ~ulp of 'exact' for
+    # bf16 features in half the MXU passes), 'bf16' = single-pass fast bound.
+    # Only consulted when use_pallas_roi_align; the C4 path has its own
+    # roi_align_precision above.
+    roi_align_fwd_precision: str = "exact"
     # evaluate conv1 as a 4x4/1 conv on 2x2 space-to-depth input (the
     # MLPerf-ResNet TPU stem; models/resnet.stem_s2d — identical math,
     # 4x less lane-padded full-resolution activation traffic). Off by

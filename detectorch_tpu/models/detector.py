@@ -59,6 +59,7 @@ def _fpn_roi_align(cfg: ModelConfig, level_feats, rois, levels, size: int):
     fast, fits = multilevel_roi_align_pallas(
         level_feats, rois, levels, cfg.fpn_spatial_scales,
         size, size, cfg.roi_sampling_ratio,
+        fwd_precision=cfg.roi_align_fwd_precision,
     )
     return fast, jnp.all(fits)
 

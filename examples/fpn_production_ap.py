@@ -18,9 +18,12 @@ Variants, cumulative toward production:
   6. + bf16 mask fetch via the batched engine (the full production path)
 
 Usage: PYTHONPATH=/root/repo:$PYTHONPATH python -u examples/fpn_production_ap.py
+FPN_AP_PRESETS / FPN_AP_VARIANTS (comma-separated substrings) subset the
+matrix; the fp32-gather baseline row always runs first (deltas need it).
 """
 
 import json
+import os
 import sys
 
 import numpy as np
@@ -43,7 +46,11 @@ def main():
         mirror = {r["preset"]: r for r in json.load(f)["rows"]
                   if r.get("shapes", "harness") == "harness"}
 
+    preset_filter = [s for s in os.environ.get("FPN_AP_PRESETS", "").split(",") if s]
+    variant_filter = [s for s in os.environ.get("FPN_AP_VARIANTS", "").split(",") if s]
     for preset in PRESETS_TO_CHECK:
+        if preset_filter and not any(s in preset for s in preset_filter):
+            continue
         cfg0, tcfg0 = harness_cfg(preset)
         # the AP-parity baseline kernel is the exact gather form
         cfg_base = cfg0.replace(use_pallas_roi_align=False)
@@ -58,7 +65,20 @@ def main():
              tcfg0.replace(exact_blob_dims=False, device_preprocess=True), 1),
             ("production batched (bf16 masks)", prod,
              tcfg0.replace(exact_blob_dims=False, device_preprocess=True), 4),
+            # round-5 kernel fwd tiers on top of the full production path:
+            # 'bf16x3' (exact products, fp32 accumulation — expected ~0 AP
+            # delta) and 'bf16' (single-pass fast bound)
+            ("production + fwd=bf16x3",
+             prod.replace(roi_align_fwd_precision="bf16x3"),
+             tcfg0.replace(exact_blob_dims=False, device_preprocess=True), 4),
+            ("production + fwd=bf16",
+             prod.replace(roi_align_fwd_precision="bf16"),
+             tcfg0.replace(exact_blob_dims=False, device_preprocess=True), 4),
         ]
+        if variant_filter:
+            variants = [variants[0]] + [
+                v for v in variants[1:]
+                if any(s in v[0] for s in variant_filter)]
         base = None
         for label, cfg, tcfg, batch in variants:
             bbox, segm, _ = evaluate_dataset(

@@ -36,6 +36,36 @@ def test_pallas_matches_reference(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(exp), rtol=1e-4, atol=1e-4)
 
 
+def test_fwd_precision_modes(rng):
+    """'bf16x3' (3 exact bf16 weight terms x bf16 slab) must sit at ~ulp of
+    'exact' (fp32/HIGHEST) when features are bf16 — the products are exact in
+    both, only fp32 accumulation order differs. 'bf16' is a loose fast tier."""
+    import jax.numpy as jnp
+
+    feats32 = make_levels(rng)
+    feats = [jnp.asarray(f, jnp.bfloat16) for f in feats32]
+    scales = (0.25, 0.125, 0.0625)
+    rois = np.array(
+        [[10, 10, 60, 70], [4, 8, 100, 90], [0, 0, 180, 120], [40, 16, 52, 30]],
+        np.float32,
+    )
+    levels = np.array([0, 1, 2, 0], np.int32)
+    outs = {}
+    for fp in ("exact", "bf16x3", "bf16"):
+        out, fits = multilevel_roi_align_pallas(
+            feats, rois, levels, scales, 7, 7, sampling_ratio=2,
+            slab=32, interpret=True, fwd_precision=fp,
+        )
+        assert np.asarray(fits).all()
+        outs[fp] = np.asarray(out)
+    np.testing.assert_allclose(outs["bf16x3"], outs["exact"], rtol=2e-6, atol=2e-6)
+    np.testing.assert_allclose(outs["bf16"], outs["exact"], rtol=2e-2, atol=2e-2)
+    # and the exact tier still matches the gather reference on the same bf16 inputs
+    exp = multilevel_roi_align(feats, rois, levels, scales, 7, 7, 2)
+    np.testing.assert_allclose(
+        outs["exact"], np.asarray(exp, np.float32), rtol=1e-2, atol=1e-2)
+
+
 def test_pallas_mask_resolution(rng):
     feats = make_levels(rng)
     scales = (0.25, 0.125, 0.0625)

@@ -49,6 +49,11 @@ def main():
     p.add_argument("--per-class-ap", action="store_true",
                    help="print the per-category AP table")
     p.add_argument("--fp32", action="store_true", help="fp32 backbone compute")
+    p.add_argument("--roi-align-fwd", default=None,
+                   choices=["exact", "bf16x3", "bf16"],
+                   help="Pallas FPN RoIAlign forward tier (default: exact "
+                        "fp32/HIGHEST; bf16x3 = exact products in half the "
+                        "MXU passes for bf16 features; bf16 = fastest)")
     p.add_argument("--exact-blob", action="store_true",
                    help="reference-exact ceil-32 image padding (more compiles)")
     p.add_argument("--device-preprocess", action="store_true",
@@ -71,6 +76,8 @@ def main():
     cfg = PRESETS[args.preset]
     if args.fp32:
         cfg = cfg.replace(compute_dtype="float32")
+    if args.roi_align_fwd:
+        cfg = cfg.replace(roi_align_fwd_precision=args.roi_align_fwd)
     test_cfg = TestConfig(exact_blob_dims=args.exact_blob,
                           device_preprocess=args.device_preprocess)
 
