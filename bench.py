@@ -61,9 +61,14 @@ def main():
         cfg = cfg.replace(compute_dtype=cdt)
     if os.environ.get("BENCH_S2D_STEM"):
         cfg = cfg.replace(s2d_stem=True)
-    fwd = os.environ.get("BENCH_ROI_ALIGN_FWD")
-    if fwd:
-        cfg = cfg.replace(roi_align_fwd_precision=fwd)
+    # default the kernel's forward tier to 'bf16x3' when compute is bf16:
+    # AP-stat-identical to 'exact' on the production path (PARITY.md round
+    # 5 — bf16 features make every product exact, only fp32 accumulation
+    # order differs) and +4.7% throughput. On fp32 compute it would round
+    # the features, so 'exact' stays. Env overrides either way.
+    fwd = os.environ.get("BENCH_ROI_ALIGN_FWD") or (
+        "bf16x3" if cfg.compute_dtype == "bfloat16" else "exact")
+    cfg = cfg.replace(roi_align_fwd_precision=fwd)
     test_cfg = TestConfig(
         nms_topk_prefilter=int(os.environ.get("BENCH_NMS_PREFILTER", "0")),
     )

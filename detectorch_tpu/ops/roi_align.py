@@ -519,6 +519,7 @@ def make_multilevel_roi_align_fused(
     sampling_ratio: int = 2,
     bwd: str = "gather",
     bwd_precision: str = "bf16",
+    fwd_precision: str = "exact",
 ):
     """Training-path RoIAlign: Pallas slab-DMA FORWARD + a choice of VJP.
 
@@ -543,6 +544,12 @@ def make_multilevel_roi_align_fused(
     round 5); 'none' returns zero feature gradients (profiling only —
     isolates the backward's cost).
 
+    fwd_precision selects the kernel's forward contraction tier
+    ('exact' | 'bf16x3' | 'bf16' — see roi_align_kernel; inference
+    measured +4.7%/+19% end-to-end for the latter two, PERF.md round 5).
+    The VJP always differentiates the exact formulation regardless of
+    the forward tier (same structure as the bwd-tier asymmetry).
+
     Caveat (documented, matching the inference architecture): rois whose
     sampling footprint exceeds the 64-slab (extreme >~4:1 aspect ratios on
     their assigned FPN level) get crop-clamped forward VALUES; inference
@@ -561,6 +568,7 @@ def make_multilevel_roi_align_fused(
         out, _ = multilevel_roi_align_pallas(
             feature_list, rois, levels, level_scales,
             pooled_h, pooled_w, sampling_ratio,
+            fwd_precision=fwd_precision,
         )
         return out
 

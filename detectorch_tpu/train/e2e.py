@@ -620,7 +620,8 @@ def make_e2e_train_step(cfg: ModelConfig, solver_cfg=None,
         fused = {
             s: make_multilevel_roi_align_fused(
                 cfg.fpn_spatial_scales, s, s, cfg.roi_sampling_ratio, bwd=bwd,
-                bwd_precision=bwd_precision)
+                bwd_precision=bwd_precision,
+                fwd_precision=cfg.roi_align_fwd_precision)
             for s in sizes
         }
 

@@ -243,6 +243,7 @@ def make_train_step(cfg: ModelConfig, solver_cfg: SolverConfig = SolverConfig(),
         fused = make_multilevel_roi_align_fused(
             cfg.fpn_spatial_scales, cfg.roi_size, cfg.roi_size,
             cfg.roi_sampling_ratio, bwd=bwd, bwd_precision=bwd_precision,
+            fwd_precision=cfg.roi_align_fwd_precision,
         )
 
     def _extras(batch):

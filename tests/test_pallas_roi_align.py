@@ -183,6 +183,42 @@ def test_fused_train_roi_align_grad_matches_gather(rng, bwd):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_fused_train_fwd_tier_keeps_exact_vjp(rng):
+    """The training wrapper's VJP differentiates the exact formulation
+    regardless of the forward tier: gradients under fwd_precision='bf16x3'
+    must be BIT-IDENTICAL to 'exact' (same custom_vjp backward), while the
+    forwards differ only by accumulation order on bf16 features."""
+    import jax
+    import jax.numpy as jnp
+
+    from detectorch_tpu.ops.roi_align import make_multilevel_roi_align_fused
+
+    feats = [jnp.asarray(f, jnp.bfloat16) for f in make_levels(rng)]
+    scales = (0.25, 0.125, 0.0625)
+    rois = jnp.asarray(
+        [[8, 8, 80, 60], [40, 20, 120, 90], [4, 4, 30, 30]], jnp.float32)
+    levels = jnp.asarray([0, 1, 0], jnp.int32)
+
+    outs, grads = {}, {}
+    for fp in ("exact", "bf16x3"):
+        fused = make_multilevel_roi_align_fused(
+            scales, 7, 7, 2, bwd="gather", fwd_precision=fp)
+
+        def loss(fl):
+            return jnp.sum(fused(fl, rois, levels).astype(jnp.float32) ** 2)
+
+        outs[fp] = np.asarray(fused(feats, rois, levels), np.float32)
+        grads[fp] = [np.asarray(g, np.float32)
+                     for g in jax.grad(loss)(feats)]
+    np.testing.assert_allclose(outs["bf16x3"], outs["exact"],
+                               rtol=2e-6, atol=2e-6)
+    # the cotangent of sum(out**2) is 2*out — it differs between tiers by
+    # the forward's ~ulp delta, so grads match to that tolerance (the VJP
+    # rule itself is the identical exact formulation)
+    for a, b in zip(grads["bf16x3"], grads["exact"]):
+        np.testing.assert_allclose(a, b, rtol=1e-2, atol=1e-4)
+
+
 def _gather_vjp_grads(feats, rois, levels, scales, ph, g):
     """Exact feature cotangent via differentiating the gather formulation."""
     import jax

@@ -82,6 +82,14 @@ def parse_args():
                         "parity with the reference's fp32 scatter backward, "
                         "roi_align_backward_cuda.cu). Ignored unless the "
                         "resolved --roi-align is pallas-mm")
+    p.add_argument("--roi-align-fwd-precision",
+                   choices=["exact", "bf16x3", "bf16"], default="exact",
+                   help="forward contraction tier of the Pallas RoIAlign "
+                        "kernel (cfg.roi_align_fwd_precision): 'exact' "
+                        "fp32/HIGHEST (default — the AP-parity tier), "
+                        "'bf16x3' exact products in half the MXU passes "
+                        "for bf16 features, 'bf16' single-pass fast bound. "
+                        "Ignored on the gather path")
     p.add_argument("--keypoints", action="store_true",
                    help="train the Keypoint R-CNN preset (box branch + "
                         "KRCNN keypoint head) from a person-keypoints "
@@ -151,7 +159,9 @@ def main():
                   else "e2e_faster_rcnn_R-50-C4_2x")
     else:
         preset = "fast_rcnn_R-50-FPN_2x" if args.fpn else "fast_rcnn_R-50-C4_2x"
-    cfg = PRESETS[preset].replace(arch=args.arch)
+    cfg = PRESETS[preset].replace(
+        arch=args.arch,
+        roi_align_fwd_precision=args.roi_align_fwd_precision)
     solver = SolverConfig(
         base_lr=args.base_lr, max_iter=args.max_iter,
         checkpoint_period=args.checkpoint_period,
