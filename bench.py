@@ -161,6 +161,9 @@ def bench_train():
     from detectorch_tpu.train.train_step import make_train_step
 
     cfg = PRESETS["fast_rcnn_R-50-FPN_2x"]
+    fwd = os.environ.get("BENCH_ROI_ALIGN_FWD")
+    if fwd:
+        cfg = cfg.replace(roi_align_fwd_precision=fwd)
     b, r, h, w = int(os.environ.get("BENCH_PER_DEV_BATCH", "8")), 512, 832, 1344
     k = cfg.num_classes
     impl = ("pallas-mm" if jax.default_backend() == "tpu" else "gather")
@@ -213,6 +216,8 @@ def bench_train():
                 f"roi_align={impl}; vs_baseline = vs our round-2 gather "
                 "step from BASELINE_TRAIN.json, no reference training "
                 "number exists)",
+        "tier": {"roi_align_fwd_precision": cfg.roi_align_fwd_precision,
+                 "bwd_precision": "bf16"},
     }
     if comparable:
         line["vs_baseline"] = round(img_per_sec / base["value"], 4)

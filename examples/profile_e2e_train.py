@@ -47,6 +47,9 @@ def main():
     cfg = PRESETS[preset]
     if os.environ.get("PROFILE_E2E_S2D_STEM"):
         cfg = cfg.replace(s2d_stem=True)
+    fwd = os.environ.get("PROFILE_E2E_ROIALIGN_FWD")
+    if fwd:
+        cfg = cfg.replace(roi_align_fwd_precision=fwd)
     print(f"devices: {jax.devices()}  batch={b} blob={h}x{w} "
           f"masks={masks} keypoints={kps}", flush=True)
 
